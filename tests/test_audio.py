@@ -199,9 +199,11 @@ def test_trim_silence():
     tone = _tone(dur=0.5)
     y = np.concatenate([silence, tone, silence])
     trimmed, (start, end) = trim_silence(y, top_db=60)
-    # boundaries land on hop-512 frame edges around the tone
-    assert abs(start - len(silence)) <= 1024
-    assert abs(end - (len(silence) + len(tone))) <= 1024
+    # boundaries land on hop-512 frame edges within one centered window
+    # (frame_length=2048) of the tone edges
+    assert abs(start - len(silence)) <= 2048
+    assert abs(end - (len(silence) + len(tone))) <= 2048
+    assert start < len(silence) < len(silence) + len(tone) < end + 2048
     assert len(trimmed) == end - start
 
 
