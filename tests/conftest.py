@@ -1,21 +1,24 @@
 """Test configuration: force JAX onto a virtual 8-device CPU mesh.
 
 Multi-chip hardware isn't available in CI; per SURVEY §4 the multi-device
-tests run against XLA's host-platform device emulation. Must run before the
-first ``import jax`` anywhere in the test process.
+tests run against XLA's host-platform device emulation. The environment's
+sitecustomize imports jax at interpreter startup (with JAX_PLATFORMS=axon),
+so plain env-var setting is too late — but backend *initialization* is lazy,
+so jax.config.update before the first jax.devices() still selects CPU.
 """
 
 import os
+import sys
 
-# Force CPU even if the ambient environment points JAX at a TPU tunnel —
-# tests must run on the virtual 8-device CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-# keep test numerics deterministic/f32 for parity gates
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
-import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
