@@ -1,0 +1,355 @@
+"""Tacotron 2 — TPU-native top module and the autoregressive decode loops.
+
+Behavioral spec from the reference (model/tacotron2.py:14-347):
+- encoder -> optional speaker fusion ``tanh(encoded + spk_emb)`` (:202)
+  -> optional description path ``Linear(desc,128)+Tanh`` broadcast over chars
+  and CONCATENATED (encoder width becomes encoded_dim+128) (:99-105,203-212)
+- attention memory precompute ``att_encoder`` (no bias) + char pad mask
+  (:107,223-229)
+- prenet (2x Linear-no-bias + ReLU + AlwaysDropout — dropout stays ON at
+  inference, the paper's output-variation mechanism, model/modules.py:4-12)
+- the decode loop (:276-325): teacher-forced (prenet over the whole GT mel,
+  shifted by one zero frame) or free-running (stop when every sample's gate
+  logit goes negative)
+- postnet residual, then length masking: mels -> 0.0, gates -> -1000.0
+  (:331-345)
+
+TPU redesign (SURVEY §7): teacher forcing is ONE ``lax.scan`` over the fused
+step; free-running is ONE ``lax.while_loop`` with a done-vector condition
+writing into static (max_len, B, ...) buffers — a single XLA program instead
+of ~600-800 Python-dispatched steps per batch. RNG is explicit: the
+AlwaysDropout keys derive from a seed, so ``say --random-seed`` is
+reproducible by construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tacotron2_tpu.models import decoder as decoder_mod
+from tacotron2_tpu.models import encoder as encoder_mod
+from tacotron2_tpu.models import layers
+from tacotron2_tpu.models import postnet as postnet_mod
+from tacotron2_tpu.models.layers import F32, Policy
+
+GATE_MASK_VALUE = -1000.0  # reference: model/tacotron2.py:345
+
+
+@dataclasses.dataclass(frozen=True)
+class Tacotron2Config:
+    """Hyperparameters (reference ctor: model/tacotron2.py:15-33)."""
+
+    num_chars: int
+    encoded_dim: int = 512
+    encoder_kernel_size: int = 5
+    num_mels: int = 80
+    prenet_dim: int = 256
+    att_rnn_dim: int = 1024
+    att_dim: int = 128
+    rnn_hidden_dim: int = 1024
+    postnet_dim: int = 512
+    dropout: float = 0.5
+    speaker_tokens: bool = False
+    num_speakers: int = 1
+    controls: bool = False
+    controls_dim: int = 0
+    description_embeddings: bool = False
+    description_embeddings_dim: int = 0
+
+    @property
+    def encoded_full_dim(self) -> int:
+        # description path widens the memory by 128 (model/tacotron2.py:99-105)
+        return self.encoded_dim + (128 if self.description_embeddings else 0)
+
+
+class Tacotron2Output(NamedTuple):
+    mels: jnp.ndarray  # (B, T, M) masked to 0 beyond length
+    mels_post: jnp.ndarray  # (B, T, M)
+    gates: jnp.ndarray  # (B, T, 1) masked to -1000 beyond length
+    alignments: jnp.ndarray  # (B, T, L) unmasked
+    lengths: jnp.ndarray  # (B,) — TF: given mel lens; free-run: #steps with gate>=0
+    n_frames: jnp.ndarray  # () int — executed decode steps (free-run early stop)
+
+
+class Tacotron2:
+    def __init__(self, config: Tacotron2Config, policy: Policy = F32):
+        self.cfg = config
+        self.policy = policy
+
+    # ------------------------------------------------------------------
+    def init(self, key) -> Tuple[dict, dict]:
+        """Initialize (params, state). Param-tree names mirror the reference
+        module tree for checkpoint-conversion fidelity."""
+        cfg = self.cfg
+        keys = jax.random.split(key, 8)
+        enc_params, enc_state = encoder_mod.init(
+            keys[0], cfg.num_chars, cfg.encoded_dim, cfg.encoder_kernel_size
+        )
+        post_params, post_state = postnet_mod.init(keys[1], cfg.num_mels, cfg.postnet_dim)
+        k_pre1, k_pre2 = jax.random.split(keys[2])
+        params = {
+            "encoder": enc_params,
+            "prenet": {
+                "fc1": layers.linear_init(k_pre1, cfg.num_mels, cfg.prenet_dim, bias=False),
+                "fc2": layers.linear_init(k_pre2, cfg.prenet_dim, cfg.prenet_dim, bias=False),
+            },
+            "att_encoder": layers.linear_init(
+                keys[3], cfg.encoded_full_dim, cfg.att_dim, bias=False
+            ),
+            "decoder": decoder_mod.init(
+                keys[4],
+                num_mels=cfg.num_mels,
+                embedding_dim=cfg.encoded_full_dim,
+                prenet_dim=cfg.prenet_dim,
+                att_rnn_dim=cfg.att_rnn_dim,
+                att_dim=cfg.att_dim,
+                rnn_hidden_dim=cfg.rnn_hidden_dim,
+                extra_decoder_in_dim=cfg.controls_dim,
+            ),
+            "postnet": post_params,
+        }
+        if cfg.speaker_tokens:
+            params["speaker_embedding"] = layers.embedding_init(
+                keys[5], cfg.num_speakers, cfg.encoded_dim, std=0.5
+            )
+        if cfg.description_embeddings:
+            params["description_linear"] = layers.linear_init(
+                keys[6], cfg.description_embeddings_dim, 128, bias=True
+            )
+        state = {"encoder": enc_state, "postnet": post_state}
+        return params, state
+
+    # ------------------------------------------------------------------
+    def _prenet(self, params, x, rng, dropout_enabled: bool):
+        """Prenet with AlwaysDropout (model/tacotron2.py:85-92). ``rng`` is
+        required when dropout_enabled (inference dropout is the default —
+        disable only for parity testing)."""
+        cfg = self.cfg
+        p = params["prenet"]
+        x = jax.nn.relu(layers.linear_apply(p["fc1"], x, self.policy))
+        if dropout_enabled:
+            rng, sub = jax.random.split(rng)
+            x = layers.dropout(sub, x, cfg.dropout)
+        x = jax.nn.relu(layers.linear_apply(p["fc2"], x, self.policy))
+        if dropout_enabled:
+            rng, sub = jax.random.split(rng)
+            x = layers.dropout(sub, x, cfg.dropout)
+        return x
+
+    def _encode(
+        self,
+        params,
+        state,
+        chars_idx,
+        chars_len,
+        train: bool,
+        rng,
+        speaker_id=None,
+        description_embeddings=None,
+    ):
+        """Encoder + conditioning fusion + attention-memory precompute
+        (reference: model/tacotron2.py:199-229)."""
+        cfg = self.cfg
+        if cfg.speaker_tokens and speaker_id is None:
+            raise ValueError("speaker_id tensor required when speaker tokens are active!")
+        if cfg.description_embeddings and description_embeddings is None:
+            raise ValueError("description tensor required when description tokens are active!")
+
+        enc_rng = None
+        if train:
+            rng, enc_rng = jax.random.split(rng)
+        encoded, enc_state = encoder_mod.apply(
+            params["encoder"], state["encoder"], chars_idx, chars_len,
+            train, cfg.dropout, enc_rng, self.policy,
+        )
+
+        if cfg.speaker_tokens:
+            spk = layers.embedding_apply(params["speaker_embedding"], speaker_id)
+            encoded = jnp.tanh(encoded + spk[:, None, :])
+        if cfg.description_embeddings:
+            desc = jnp.tanh(
+                layers.linear_apply(params["description_linear"], description_embeddings, self.policy)
+            )  # (B, 128)
+            L = chars_idx.shape[1]
+            encoded = jnp.concatenate(
+                [encoded, jnp.broadcast_to(desc[:, None, :], (desc.shape[0], L, 128))], axis=-1
+            )
+
+        att_encoded = layers.linear_apply(params["att_encoder"], encoded, self.policy)
+        mask = jnp.arange(chars_idx.shape[1])[None, :] >= chars_len[:, None]
+        return encoded, att_encoded, mask, enc_state
+
+    # ------------------------------------------------------------------
+    def forward_teacher(
+        self,
+        params,
+        state,
+        chars_idx,  # (B, L)
+        chars_len,  # (B,)
+        mel_spectrogram,  # (B, T, M) ground truth
+        mel_spectrogram_len,  # (B,)
+        rng,
+        train: bool = True,
+        speaker_id=None,
+        controls=None,
+        description_embeddings=None,
+        prenet_dropout: bool = True,
+    ) -> Tuple[Tacotron2Output, dict]:
+        """Teacher-forced forward: ONE lax.scan over the decode step
+        (replaces the reference's Python loop, model/tacotron2.py:276-317)."""
+        cfg = self.cfg
+        self._check_controls(controls)
+        B, T, M = mel_spectrogram.shape
+
+        rng, enc_rng, pre_rng, scan_rng, post_rng = jax.random.split(rng, 5)
+        encoded, att_encoded, mask, enc_state = self._encode(
+            params, state, chars_idx, chars_len, train, enc_rng,
+            speaker_id, description_embeddings,
+        )
+
+        # prenet over the whole shifted GT mel at once (tacotron2.py:254-260)
+        shifted = jnp.pad(mel_spectrogram, ((0, 0), (1, 0), (0, 0)))[:, :T]
+        decoder_in = self._prenet(params, shifted, pre_rng, prenet_dropout)  # (B,T,P)
+        decoder_in = jnp.swapaxes(decoder_in, 0, 1)  # (T, B, P) time-major
+
+        dec_state = decoder_mod.init_state(
+            B, chars_idx.shape[1], cfg.att_rnn_dim, cfg.encoded_full_dim, cfg.rnn_hidden_dim
+        )
+        step_keys = jax.random.split(scan_rng, T)
+
+        def scan_step(carry, xs):
+            prev_prenet, key = xs
+            mel, gate, new_state = decoder_mod.step(
+                params["decoder"], prev_prenet, carry, encoded, att_encoded, mask,
+                extra_decoder_in=controls, train=train, rng=key, policy=self.policy,
+            )
+            return new_state, (mel, gate[:, 0], new_state.att_weights)
+
+        _, (mels, gates, aligns) = jax.lax.scan(scan_step, dec_state, (decoder_in, step_keys))
+        mels = jnp.swapaxes(mels, 0, 1)  # (B, T, M)
+        gates = jnp.swapaxes(gates, 0, 1)[..., None]  # (B, T, 1)
+        aligns = jnp.swapaxes(aligns, 0, 1)  # (B, T, L)
+
+        post, post_state = postnet_mod.apply(
+            params["postnet"], state["postnet"], mels, train, cfg.dropout, post_rng, self.policy
+        )
+        mels_post = mels + post
+
+        out = self._mask_outputs(mels, mels_post, gates, aligns, mel_spectrogram_len)
+        return out, {"encoder": enc_state, "postnet": post_state}
+
+    # ------------------------------------------------------------------
+    def forward_infer(
+        self,
+        params,
+        state,
+        chars_idx,
+        chars_len,
+        max_len: int,
+        rng,
+        speaker_id=None,
+        controls=None,
+        description_embeddings=None,
+        prenet_dropout: bool = True,
+    ) -> Tacotron2Output:
+        """Free-running decode as ONE lax.while_loop with early stop when all
+        gates fire (reference: model/tacotron2.py:262-325). Static-shaped
+        (max_len,) output buffers; frames past the executed steps stay zero."""
+        cfg = self.cfg
+        self._check_controls(controls)
+        B, L = chars_idx.shape
+
+        rng, enc_rng, pre_rng = jax.random.split(rng, 3)
+        encoded, att_encoded, mask, _ = self._encode(
+            params, state, chars_idx, chars_len, False, enc_rng,
+            speaker_id, description_embeddings,
+        )
+
+        dec_state = decoder_mod.init_state(
+            B, L, cfg.att_rnn_dim, cfg.encoded_full_dim, cfg.rnn_hidden_dim
+        )
+        prev_prenet = self._prenet(
+            params, jnp.zeros((B, cfg.num_mels)), jax.random.fold_in(pre_rng, 0), prenet_dropout
+        )
+
+        mels_buf = jnp.zeros((max_len, B, cfg.num_mels), jnp.float32)
+        gates_buf = jnp.full((max_len, B), GATE_MASK_VALUE, jnp.float32)
+        aligns_buf = jnp.zeros((max_len, B, L), jnp.float32)
+
+        def cond(carry):
+            t, done = carry[0], carry[1]
+            return jnp.logical_and(t < max_len, ~jnp.all(done))
+
+        def body(carry):
+            t, done, lengths, prev_prenet, dec_state, mels_buf, gates_buf, aligns_buf = carry
+            mel, gate, dec_state = decoder_mod.step(
+                params["decoder"], prev_prenet, dec_state, encoded, att_encoded, mask,
+                extra_decoder_in=controls, train=False, rng=None, policy=self.policy,
+            )
+            g = gate[:, 0]
+            mels_buf = jax.lax.dynamic_update_index_in_dim(mels_buf, mel, t, 0)
+            gates_buf = jax.lax.dynamic_update_index_in_dim(gates_buf, g, t, 0)
+            aligns_buf = jax.lax.dynamic_update_index_in_dim(
+                aligns_buf, dec_state.att_weights, t, 0
+            )
+            # stop bookkeeping (tacotron2.py:319-322): done is sticky; length
+            # counts every executed step whose gate stayed non-negative
+            done = jnp.logical_or(done, g < 0.0)
+            lengths = lengths + (g >= 0.0).astype(jnp.int32)
+            prev_prenet = self._prenet(
+                params, mel, jax.random.fold_in(pre_rng, t + 1), prenet_dropout
+            )
+            return (t + 1, done, lengths, prev_prenet, dec_state, mels_buf, gates_buf, aligns_buf)
+
+        init = (
+            jnp.asarray(0, jnp.int32),
+            jnp.zeros((B,), bool),
+            jnp.zeros((B,), jnp.int32),
+            prev_prenet,
+            dec_state,
+            mels_buf,
+            gates_buf,
+            aligns_buf,
+        )
+        t, done, lengths, _, _, mels_buf, gates_buf, aligns_buf = jax.lax.while_loop(
+            cond, body, init
+        )
+
+        mels = jnp.swapaxes(mels_buf, 0, 1)
+        gates = jnp.swapaxes(gates_buf, 0, 1)[..., None]
+        aligns = jnp.swapaxes(aligns_buf, 0, 1)
+
+        post, _ = postnet_mod.apply(
+            params["postnet"], state["postnet"], mels, False, cfg.dropout, None, self.policy
+        )
+        mels_post = mels + post
+        out = self._mask_outputs(mels, mels_post, gates, aligns, lengths)
+        return out._replace(n_frames=t)
+
+    # ------------------------------------------------------------------
+    def _check_controls(self, controls):
+        if self.cfg.controls and controls is None:
+            raise ValueError("Controls are enabled, but no control vector was passed!")
+        if not self.cfg.controls and controls is not None:
+            raise ValueError("Controls are disabled, but a control vector was passed!")
+
+    def _mask_outputs(self, mels, mels_post, gates, aligns, lengths) -> Tacotron2Output:
+        """Length masking with the reference's fill values
+        (model/tacotron2.py:335-345): mels -> 0.0, gates -> -1000.0."""
+        T = mels.shape[1]
+        mask = (jnp.arange(T)[None, :] >= lengths[:, None])[..., None]  # (B,T,1)
+        mels = jnp.where(mask, 0.0, mels)
+        mels_post = jnp.where(mask, 0.0, mels_post)
+        gates = jnp.where(mask, GATE_MASK_VALUE, gates)
+        return Tacotron2Output(
+            mels=mels,
+            mels_post=mels_post,
+            gates=gates,
+            alignments=aligns,
+            lengths=lengths,
+            n_frames=jnp.asarray(T, jnp.int32),
+        )
