@@ -1,0 +1,149 @@
+"""HiFi-GAN generator (vocoder) in JAX.
+
+Behavioral spec from the reference (model/hifi_gan.py:154-216): conv_pre
+(80 -> upsample_initial_channel, k=7) -> per stage [LeakyReLU(0.1) ->
+ConvTranspose1d(ch -> ch/2, k_u, stride u) -> mean of num_kernels ResBlocks
+(multi-receptive-field fusion)] -> LeakyReLU (default slope 0.01!) ->
+conv_post (ch -> 1, k=7) -> tanh.
+
+ResBlock1 (model/hifi_gan.py:20-109): 3x [lrelu -> conv(dilation d) ->
+lrelu -> conv(dilation 1) -> +x], dilations (1,3,5).
+ResBlock2 (:112-151): 2x [lrelu -> conv(dilation d) -> +x], dilations (1,3).
+
+TPU redesign: channels-last NWC convs; the transposed convs lower to
+lhs-dilated convolutions that XLA tiles onto the MXU (layers.
+conv_transpose1d_apply); weight norm is folded at conversion time (the
+reference removes it before inference anyway, run/say.py:88). All shapes
+static: T mel frames -> T * prod(upsample_rates) samples.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tacotron2_tpu.models import layers
+from tacotron2_tpu.models.layers import F32, Policy
+
+LRELU_SLOPE = 0.1  # model/hifi_gan.py:7
+
+
+def get_padding(kernel_size: int, dilation: int = 1) -> int:
+    return (kernel_size * dilation - dilation) // 2
+
+
+@dataclasses.dataclass(frozen=True)
+class HiFiGANConfig:
+    """Mirrors the checkpoint-side JSON config (run/say.py:76-78)."""
+
+    resblock: str = "1"
+    upsample_rates: Tuple[int, ...] = (8, 8, 2, 2)
+    upsample_kernel_sizes: Tuple[int, ...] = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    num_mels: int = 80
+
+    @staticmethod
+    def from_dict(h: dict) -> "HiFiGANConfig":
+        return HiFiGANConfig(
+            resblock=str(h["resblock"]),
+            upsample_rates=tuple(h["upsample_rates"]),
+            upsample_kernel_sizes=tuple(h["upsample_kernel_sizes"]),
+            upsample_initial_channel=int(h["upsample_initial_channel"]),
+            resblock_kernel_sizes=tuple(h["resblock_kernel_sizes"]),
+            resblock_dilation_sizes=tuple(tuple(d) for d in h["resblock_dilation_sizes"]),
+            num_mels=int(h.get("num_mels", 80)),
+        )
+
+    @property
+    def total_upsample(self) -> int:
+        out = 1
+        for u in self.upsample_rates:
+            out *= u
+        return out
+
+
+class HiFiGAN:
+    def __init__(self, config: HiFiGANConfig, policy: Policy = F32):
+        self.cfg = config
+        self.policy = policy
+
+    # ------------------------------------------------------------------
+    def init(self, key) -> dict:
+        """Random init (the reference re-inits convs N(0, 0.01),
+        model/hifi_gan.py:10-13,187)."""
+        cfg = self.cfg
+        n_ups = len(cfg.upsample_rates)
+        n_k = len(cfg.resblock_kernel_sizes)
+        keys = iter(jax.random.split(key, 4 + n_ups + n_ups * n_k * 8))
+
+        def normal_conv(k, in_ch, out_ch, kernel):
+            p = layers.conv1d_init(k, in_ch, out_ch, kernel)
+            return {"w": jax.random.normal(k, p["w"].shape) * 0.01, "b": jnp.zeros_like(p["b"])}
+
+        params = {
+            "conv_pre": layers.conv1d_init(next(keys), cfg.num_mels, cfg.upsample_initial_channel, 7),
+            "ups": [],
+            "resblocks": [],
+        }
+        ch = cfg.upsample_initial_channel
+        for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+            p = layers.conv_transpose1d_init(next(keys), ch, ch // 2, k)
+            params["ups"].append({"w": jax.random.normal(next(keys), p["w"].shape) * 0.01, "b": jnp.zeros_like(p["b"])})
+            ch //= 2
+            for kr, dil in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
+                rb: dict = {}
+                if cfg.resblock == "1":
+                    rb["convs1"] = [normal_conv(next(keys), ch, ch, kr) for _ in dil]
+                    rb["convs2"] = [normal_conv(next(keys), ch, ch, kr) for _ in dil]
+                else:
+                    rb["convs"] = [normal_conv(next(keys), ch, ch, kr) for _ in dil]
+                params["resblocks"].append(rb)
+        params["conv_post"] = normal_conv(next(keys), ch, 1, 7)
+        return params
+
+    # ------------------------------------------------------------------
+    def _resblock(self, rb, x, kernel: int, dilations: Sequence[int]):
+        pol = self.policy
+        if self.cfg.resblock == "1":
+            for j, d in enumerate(dilations):
+                xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
+                xt = layers.conv1d_apply(rb["convs1"][j], xt, pol, padding=get_padding(kernel, d), dilation=d)
+                xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
+                xt = layers.conv1d_apply(rb["convs2"][j], xt, pol, padding=get_padding(kernel, 1), dilation=1)
+                x = xt + x
+        else:
+            for j, d in enumerate(dilations):
+                xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
+                xt = layers.conv1d_apply(rb["convs"][j], xt, pol, padding=get_padding(kernel, d), dilation=d)
+                x = xt + x
+        return x
+
+    def apply(self, params, mel: jnp.ndarray) -> jnp.ndarray:
+        """mel (B, T, num_mels) -> wav (B, T * total_upsample).
+
+        (The reference takes (B, num_mels, T) and returns (B, 1, samples);
+        we are channels-last end to end.)
+        """
+        cfg, pol = self.cfg, self.policy
+        num_kernels = len(cfg.resblock_kernel_sizes)
+
+        x = layers.conv1d_apply(params["conv_pre"], mel, pol, padding=3)
+        for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+            x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            x = layers.conv_transpose1d_apply(params["ups"][i], x, stride=u, padding=(k - u) // 2, policy=pol)
+            acc = None
+            for j in range(num_kernels):
+                rb = params["resblocks"][i * num_kernels + j]
+                y = self._resblock(
+                    rb, x, cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j]
+                )
+                acc = y if acc is None else acc + y
+            x = acc / num_kernels
+        x = jax.nn.leaky_relu(x)  # default slope 0.01 (model/hifi_gan.py:203)
+        x = layers.conv1d_apply(params["conv_post"], x, pol, padding=3)
+        return jnp.tanh(x)[..., 0]

@@ -1,0 +1,73 @@
+"""HiFi-GAN parity vs the reference torch Generator (model/hifi_gan.py),
+random weights, both with and without weight-norm folding."""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+sys.path.insert(0, "/root/reference")
+
+from model.hifi_gan import Generator as TorchGenerator  # noqa: E402
+
+
+class AttrDict(dict):  # run/say.py:18-21 (run.say itself imports librosa)
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.__dict__ = self
+
+from tacotron2_tpu.convert import convert_hifigan_state_dict  # noqa: E402
+from tacotron2_tpu.models.hifigan import HiFiGAN, HiFiGANConfig  # noqa: E402
+
+# small config for test speed (structure identical to UNIVERSAL_V1)
+H = {
+    "resblock": "1",
+    "upsample_rates": [8, 2],
+    "upsample_kernel_sizes": [16, 4],
+    "upsample_initial_channel": 32,
+    "resblock_kernel_sizes": [3, 7],
+    "resblock_dilation_sizes": [[1, 3, 5], [1, 3, 5]],
+}
+
+H2 = dict(H, resblock="2", resblock_dilation_sizes=[[1, 3], [1, 3]])
+
+
+def _run_pair(h, remove_wn: bool, seed=0):
+    torch.manual_seed(seed)
+    tg = TorchGenerator(AttrDict(h))
+    if remove_wn:
+        tg.remove_weight_norm()
+    tg.eval()
+
+    params = convert_hifigan_state_dict(tg.state_dict(), h)
+    ours = HiFiGAN(HiFiGANConfig.from_dict(h))
+
+    rng = np.random.default_rng(seed)
+    mel = rng.standard_normal((2, 17, 80)).astype(np.float32)
+    with torch.no_grad():
+        ref = tg(torch.tensor(mel).swapaxes(1, 2))[:, 0, :].numpy()
+    out = np.asarray(ours.apply(params, mel))
+    return out, ref
+
+
+def test_hifigan_parity_resblock1_wn_removed():
+    out, ref = _run_pair(H, remove_wn=True)
+    assert out.shape == ref.shape == (2, 17 * 16)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_hifigan_parity_resblock1_wn_folded():
+    # converter folds weight_g/weight_v itself
+    out, ref_out = _run_pair(H, remove_wn=False)
+    np.testing.assert_allclose(out, ref_out, atol=1e-5)
+
+
+def test_hifigan_parity_resblock2():
+    out, ref = _run_pair(H2, remove_wn=True, seed=3)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_hifigan_output_length_formula():
+    ours = HiFiGAN(HiFiGANConfig.from_dict(H))
+    assert ours.cfg.total_upsample == 16
