@@ -1,0 +1,128 @@
+"""Jitted train / eval steps.
+
+Reference semantics (model/tts_model.py:165-253): teacher-forced forward,
+loss = BCE(gate) + MSE(mel) + MSE(mel_post); Lightning AMP backward with
+global-norm clip 1.0; Adam + per-step MultiStepLR. Here: one jitted function
+— forward (lax.scan decode), loss, grad, optax update, BN-state update.
+
+Data parallelism (SURVEY §2.8 plan): the batch arrives sharded over the
+``data`` mesh axis via sharding constraints set by the caller
+(tacotron2_tpu.parallel); because loss/BN-stats are expressed as global
+means over the sharded batch axis, XLA inserts the psum collectives over
+ICI automatically — no NCCL analog, no manual pmean.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tacotron2_tpu.models.tacotron2 import Tacotron2
+from tacotron2_tpu.training.losses import tacotron2_loss
+
+
+def make_train_step(model: Tacotron2, tx, donate: bool = True):
+    """Returns jitted (train_state, batch, rng) -> (train_state, metrics).
+
+    ``batch``: dict with chars_idx (B,L), chars_len (B,), mel (B,T,M),
+    mel_len (B,), gate (B,T,1), and optional speaker_id / controls /
+    description_embeddings.
+    """
+
+    def loss_fn(params, model_state, batch, rng):
+        out, new_model_state = model.forward_teacher(
+            params,
+            model_state,
+            batch["chars_idx"],
+            batch["chars_len"],
+            batch["mel"],
+            batch["mel_len"],
+            rng=rng,
+            train=True,
+            speaker_id=batch.get("speaker_id"),
+            controls=batch.get("controls"),
+            description_embeddings=batch.get("description_embeddings"),
+        )
+        loss, metrics = tacotron2_loss(
+            out.mels, out.mels_post, out.gates, batch["mel"], batch["gate"]
+        )
+        return loss, (metrics, new_model_state)
+
+    def train_step(state, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (metrics, new_model_state)), grads = grad_fn(
+            state.params, state.model_state, batch, rng
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = jax.tree.reduce(
+            lambda a, b: a + b, jax.tree.map(lambda g: jnp.sum(g * g), grads)
+        ) ** 0.5
+        new_state = state.__class__(
+            params=new_params,
+            model_state=new_model_state,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: Tacotron2):
+    """Validation step (model/tts_model.py:117-163): teacher-forced, eval
+    mode, same loss; also returns the first sample's tensors for plotting."""
+
+    def eval_step(params, model_state, batch, rng):
+        out, _ = model.forward_teacher(
+            params,
+            model_state,
+            batch["chars_idx"],
+            batch["chars_len"],
+            batch["mel"],
+            batch["mel_len"],
+            rng=rng,
+            train=False,
+            prenet_dropout=True,  # AlwaysDropout stays on in the reference
+            speaker_id=batch.get("speaker_id"),
+            controls=batch.get("controls"),
+            description_embeddings=batch.get("description_embeddings"),
+        )
+        loss, metrics = tacotron2_loss(
+            out.mels, out.mels_post, out.gates, batch["mel"], batch["gate"]
+        )
+        firsts = {
+            "mel_spectrogram_pred": out.mels_post[0],
+            "mel_spectrogram": batch["mel"][0],
+            "alignment": out.alignments[0],
+            "gate": batch["gate"][0],
+            "gate_pred": out.gates[0],
+        }
+        return metrics, firsts
+
+    return jax.jit(eval_step)
+
+
+def make_predict_step(model: Tacotron2, max_len: int):
+    """Free-running prediction (model/tts_model.py:294-316)."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def predict_step(params, model_state, batch, rng):
+        return model.forward_infer(
+            params,
+            model_state,
+            batch["chars_idx"],
+            batch["chars_len"],
+            max_len,
+            rng=rng,
+            speaker_id=batch.get("speaker_id"),
+            controls=batch.get("controls"),
+            description_embeddings=batch.get("description_embeddings"),
+        )
+
+    return predict_step

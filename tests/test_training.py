@@ -1,0 +1,163 @@
+"""Training-harness tests: loss parity vs torch, optimizer-chain parity vs
+torch Adam (coupled weight decay + MultiStepLR + global-norm clip), and a
+tiny-config overfit run (SURVEY §4 plan: 'tiny-config train step loss-drop')."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tacotron2_tpu.models.tacotron2 import Tacotron2, Tacotron2Config
+from tacotron2_tpu.training.losses import bce_with_logits, mse, tacotron2_loss
+from tacotron2_tpu.training.optimizer import make_optimizer, multistep_lr_schedule
+from tacotron2_tpu.training.step import make_eval_step, make_train_step
+from tacotron2_tpu.training.train_state import TrainState
+
+
+def test_bce_mse_match_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((4, 9, 1)).astype(np.float32) * 3
+    targets = (rng.uniform(size=(4, 9, 1)) > 0.5).astype(np.float32)
+    ref = torch.nn.functional.binary_cross_entropy_with_logits(
+        torch.tensor(logits), torch.tensor(targets)
+    ).item()
+    ours = float(bce_with_logits(jnp.asarray(logits), jnp.asarray(targets)))
+    assert abs(ours - ref) < 1e-6
+
+    a = rng.standard_normal((4, 9, 80)).astype(np.float32)
+    b = rng.standard_normal((4, 9, 80)).astype(np.float32)
+    ref = torch.nn.functional.mse_loss(torch.tensor(a), torch.tensor(b)).item()
+    assert abs(float(mse(jnp.asarray(a), jnp.asarray(b))) - ref) < 1e-6
+
+
+def test_bce_masked_region_contributes_zero():
+    # masked gates are -1000 vs padded target 0 -> ~0 numerator (SURVEY §7)
+    logits = jnp.full((2, 5, 1), -1000.0)
+    targets = jnp.zeros((2, 5, 1))
+    assert float(bce_with_logits(logits, targets)) < 1e-12
+
+
+def test_multistep_schedule():
+    sched = multistep_lr_schedule(1e-3, [50, 75], gamma=0.1)
+    np.testing.assert_allclose(float(sched(0)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(49)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(50)), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(75)), 1e-5, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(100)), 1e-5, rtol=1e-6)
+
+
+def test_optimizer_matches_torch_adam():
+    """3 steps of [global-norm clip 1.0 -> Adam(lr, coupled wd)] on identical
+    quadratic grads must match torch (run/train.py:240 + tts_model.py:80)."""
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(3)
+    w0 = rng.standard_normal((5, 4)).astype(np.float32)
+    targets = [rng.standard_normal((5, 4)).astype(np.float32) for _ in range(3)]
+
+    # torch side
+    wt = torch.tensor(w0.copy(), requires_grad=True)
+    opt = torch.optim.Adam([wt], lr=1e-2, weight_decay=1e-2)
+    for t in targets:
+        opt.zero_grad()
+        loss = ((wt - torch.tensor(t)) ** 2).sum()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_([wt], 1.0)
+        opt.step()
+
+    # ours
+    tx, _ = make_optimizer(1e-2, 1e-2, scheduler_milestones=[], grad_clip=1.0)
+    params = {"w": jnp.asarray(w0.copy())}
+    opt_state = tx.init(params)
+    for t in targets:
+        grads = {"w": 2 * (params["w"] - jnp.asarray(t))}
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["w"]), wt.detach().numpy(), atol=1e-5)
+
+
+def _tiny_batch(B=2, L=8, T=12, M=16, seed=0):
+    rng = np.random.default_rng(seed)
+    chars = rng.integers(1, 12, size=(B, L)).astype(np.int64)
+    lens = np.full((B,), L, dtype=np.int64)
+    mel = rng.standard_normal((B, T, M)).astype(np.float32) * 0.5
+    mel_len = np.full((B,), T, dtype=np.int64)
+    gate = np.ones((B, T, 1), np.float32)
+    gate[:, -1] = 0.0
+    return {
+        "chars_idx": jnp.asarray(chars),
+        "chars_len": jnp.asarray(lens),
+        "mel": jnp.asarray(mel),
+        "mel_len": jnp.asarray(mel_len),
+        "gate": jnp.asarray(gate),
+    }
+
+
+def test_overfit_tiny_batch():
+    cfg = Tacotron2Config(
+        num_chars=12, encoded_dim=32, encoder_kernel_size=5, num_mels=16,
+        prenet_dim=16, att_rnn_dim=32, att_dim=16, rnn_hidden_dim=32,
+        postnet_dim=16, dropout=0.0,
+    )
+    model = Tacotron2(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(3e-3, 1e-6, scheduler_milestones=[])
+    ts = TrainState.create(params, state, tx)
+    train_step = make_train_step(model, tx, donate=False)
+    batch = _tiny_batch()
+    rng = jax.random.PRNGKey(42)
+
+    first = None
+    for i in range(60):
+        ts, metrics = train_step(ts, batch, rng)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(last)
+    assert last < 0.5 * first, f"loss did not drop: {first} -> {last}"
+    assert int(ts.step) == 60
+
+
+def test_eval_step_runs():
+    cfg = Tacotron2Config(
+        num_chars=12, encoded_dim=32, encoder_kernel_size=5, num_mels=16,
+        prenet_dim=16, att_rnn_dim=32, att_dim=16, rnn_hidden_dim=32,
+        postnet_dim=16, dropout=0.1,
+    )
+    model = Tacotron2(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    metrics, firsts = make_eval_step(model)(params, state, _tiny_batch(), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert firsts["alignment"].shape == (12, 8)
+
+
+def test_freeze_mask_finetune():
+    """Finetune protocol freezes encoder + speaker embedding
+    (run/train.py:229-233)."""
+    cfg = Tacotron2Config(
+        num_chars=12, encoded_dim=32, encoder_kernel_size=5, num_mels=16,
+        prenet_dim=16, att_rnn_dim=32, att_dim=16, rnn_hidden_dim=32,
+        postnet_dim=16, dropout=0.0, speaker_tokens=True, num_speakers=3,
+    )
+    model = Tacotron2(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    mask = jax.tree.map(lambda _: True, params)
+    mask["encoder"] = jax.tree.map(lambda _: False, params["encoder"])
+    mask["speaker_embedding"] = jax.tree.map(lambda _: False, params["speaker_embedding"])
+    tx, _ = make_optimizer(1e-3, 0.0, scheduler_milestones=[], freeze_mask=mask)
+    ts = TrainState.create(params, state, tx)
+    train_step = make_train_step(model, tx, donate=False)
+    batch = _tiny_batch()
+    batch["speaker_id"] = jnp.asarray([0, 1])
+    ts2, _ = train_step(ts, batch, jax.random.PRNGKey(0))
+    # frozen params unchanged, others moved
+    np.testing.assert_array_equal(
+        np.asarray(ts2.params["encoder"]["embedding"]["table"]),
+        np.asarray(params["encoder"]["embedding"]["table"]),
+    )
+    assert not np.allclose(
+        np.asarray(ts2.params["decoder"]["gate"]["w"]), np.asarray(params["decoder"]["gate"]["w"])
+    )
