@@ -1,0 +1,21 @@
+from tacotron2_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    make_sharded_train_step,
+    param_shardings,
+    place_params,
+    place_replicated,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "param_shardings",
+    "place_params",
+    "place_replicated",
+    "replicated",
+    "shard_batch",
+    "make_sharded_train_step",
+]

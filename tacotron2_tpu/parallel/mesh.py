@@ -1,0 +1,104 @@
+"""Device mesh + sharding layer.
+
+The reference is single-process single-GPU (SURVEY §2.8: Trainer pinned to
+``devices=[device]``, run/train.py:236-239; no NCCL/Gloo/MPI anywhere). The
+TPU-native scaling story replaces that with:
+
+- a ("data", "model") ``jax.sharding.Mesh``; batch axes sharded over "data"
+  (DP), the fat decoder matmuls optionally sharded over "model" (TP hooks —
+  not needed for parity at ~28M params, SURVEY §2.8, but the partition specs
+  are wired so larger configs shard without code changes)
+- placement-driven GSPMD: params are ``device_put`` with their shardings
+  BEFORE ``tx.init`` so optimizer moments inherit the layout; ``jax.jit``
+  then compiles one SPMD program and XLA inserts the psum gradient
+  all-reduce over ICI. Multi-host runs the same code after
+  ``jax.distributed.initialize`` (DCN). No collective library: XLA emits
+  the collectives (SURVEY §5.8).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """1- or 2-D ("data", "model") mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, ("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over "data"."""
+    return NamedSharding(mesh, P("data"))
+
+
+def _spec_for_param(path: tuple, leaf) -> P:
+    """TP partition specs: LSTM gate projections (in, 4H) shard the output
+    dim over "model" (column parallel); small tensors stay replicated. With
+    model_parallel=1 these collapse to replication."""
+    names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+    key = names[-1] if names else ""
+    if key in ("w_ih", "w_hh") and getattr(leaf, "ndim", 0) == 2:
+        return P(None, "model")
+    if key in ("b_ih", "b_hh"):
+        return P("model")
+    return P()
+
+
+def param_shardings(mesh: Mesh, params):
+    """Pytree of NamedShardings for the param pytree (divisibility-checked)."""
+
+    def to_sharding(path, leaf):
+        spec = _spec_for_param(path, leaf)
+        for dim, axis in enumerate(spec):
+            if axis is not None and leaf.shape[dim] % mesh.shape[axis] != 0:
+                return NamedSharding(mesh, P())
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def place_params(params, mesh: Mesh):
+    """device_put params with their TP/replicated shardings. Do this BEFORE
+    ``tx.init`` / ``TrainState.create`` so optimizer state inherits layout."""
+    sh = param_shardings(mesh, params)
+    return jax.tree.map(jax.device_put, params, sh)
+
+
+def place_replicated(tree, mesh: Mesh):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def make_sharded_train_step(model, tx, mesh: Mesh, donate: bool = True):
+    """DP/TP train step: same pure step as single-chip, jitted; sharding
+    comes from argument placement (place_params/shard_batch). The loss/BN
+    means over the DP-sharded batch axis compile to psums over ICI."""
+    from tacotron2_tpu.training.step import build_train_step
+
+    step = build_train_step(model, tx)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

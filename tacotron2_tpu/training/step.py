@@ -24,8 +24,9 @@ from tacotron2_tpu.models.tacotron2 import Tacotron2
 from tacotron2_tpu.training.losses import tacotron2_loss
 
 
-def make_train_step(model: Tacotron2, tx, donate: bool = True):
-    """Returns jitted (train_state, batch, rng) -> (train_state, metrics).
+def build_train_step(model: Tacotron2, tx):
+    """Pure (un-jitted) train step: (train_state, batch, rng) ->
+    (train_state, metrics). Shared by the single-chip and mesh-sharded paths.
 
     ``batch``: dict with chars_idx (B,L), chars_len (B,), mel (B,T,M),
     mel_len (B,), gate (B,T,1), and optional speaker_id / controls /
@@ -71,7 +72,13 @@ def make_train_step(model: Tacotron2, tx, donate: bool = True):
         )
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return train_step
+
+
+def make_train_step(model: Tacotron2, tx, donate: bool = True):
+    """Jitted single-program train step (works 1-chip or mesh-sharded —
+    sharding follows argument placement)."""
+    return jax.jit(build_train_step(model, tx), donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model: Tacotron2):

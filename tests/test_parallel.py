@@ -1,0 +1,137 @@
+"""Multi-device tests on the virtual 8-CPU mesh: DP train step equivalence
+vs single-device, TP param shardings, batch sharding layout."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tacotron2_tpu.models.tacotron2 import Tacotron2, Tacotron2Config
+from tacotron2_tpu.parallel import (
+    make_mesh,
+    make_sharded_train_step,
+    param_shardings,
+    place_params,
+    place_replicated,
+    shard_batch,
+)
+from tacotron2_tpu.training.optimizer import make_optimizer
+from tacotron2_tpu.training.step import make_train_step
+from tacotron2_tpu.training.train_state import TrainState
+
+CFG = Tacotron2Config(
+    num_chars=12, encoded_dim=32, encoder_kernel_size=5, num_mels=16,
+    prenet_dim=16, att_rnn_dim=32, att_dim=16, rnn_hidden_dim=32,
+    postnet_dim=16, dropout=0.0,
+)
+
+
+def _batch(B=8, L=8, T=12, M=16, seed=0):
+    rng = np.random.default_rng(seed)
+    gate = np.ones((B, T, 1), np.float32)
+    gate[:, -1] = 0.0
+    return {
+        "chars_idx": jnp.asarray(rng.integers(1, 12, size=(B, L)).astype(np.int64)),
+        "chars_len": jnp.full((B,), L, dtype=jnp.int64),
+        "mel": jnp.asarray(rng.standard_normal((B, T, M)).astype(np.float32)),
+        "mel_len": jnp.full((B,), T, dtype=jnp.int64),
+        "gate": jnp.asarray(gate),
+    }
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = make_mesh(model_parallel=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_batch_sharding_layout():
+    mesh = make_mesh()
+    batch = shard_batch(_batch(), mesh)
+    shards = batch["mel"].addressable_shards
+    assert len(shards) == 8
+    assert shards[0].data.shape[0] == 1  # 8-way split of B=8
+
+
+def test_dp_train_step_matches_single_device():
+    """One DP step over the 8-device mesh must equal the single-device step
+    (same batch, same rng) — the collectives must not change the math."""
+    model = Tacotron2(CFG)
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(1e-3, 1e-6, scheduler_milestones=[])
+    batch = _batch()
+    rng = jax.random.PRNGKey(7)
+
+    ts1 = TrainState.create(params, state, tx)
+    single = make_train_step(model, tx, donate=False)
+    ts1b, m1 = single(ts1, batch, rng)
+
+    mesh = make_mesh()
+    p2 = place_params(params, mesh)
+    s2 = place_replicated(state, mesh)
+    ts2 = TrainState.create(p2, s2, tx)
+    sharded = make_sharded_train_step(model, tx, mesh, donate=False)
+    ts2b, m2 = sharded(ts2, shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    # params after one Adam step: loose — Adam's g/sqrt(v) amplifies
+    # reduction-order float noise on near-zero grads (update mag <= lr=1e-3)
+    for a, b in zip(jax.tree.leaves(ts1b.params), jax.tree.leaves(ts2b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3)
+
+    # the real collectives-don't-change-math check: raw gradients
+    from tacotron2_tpu.training.losses import tacotron2_loss
+
+    def loss_only(params, batch):
+        out, _ = model.forward_teacher(
+            params, state, batch["chars_idx"], batch["chars_len"],
+            batch["mel"], batch["mel_len"], rng=rng, train=True,
+        )
+        return tacotron2_loss(out.mels, out.mels_post, out.gates, batch["mel"], batch["gate"])[0]
+
+    g1 = jax.jit(jax.grad(loss_only))(params, batch)
+    mesh_batch = shard_batch(batch, mesh)
+    g2 = jax.jit(jax.grad(loss_only))(place_params(params, mesh), mesh_batch)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        scale = max(float(np.abs(np.asarray(a)).max()), 1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5 * scale)
+
+
+def test_tp_param_shardings_divisibility():
+    mesh = make_mesh(model_parallel=2)
+    model = Tacotron2(CFG)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    sh = param_shardings(mesh, params)
+    # LSTM projections sharded over "model" (4H=128 divisible by 2)
+    spec = sh["decoder"]["att_rnn"]["w_ih"].spec
+    assert spec == jax.sharding.PartitionSpec(None, "model")
+    # small / indivisible tensors replicated
+    assert sh["decoder"]["gate"]["b"].spec == jax.sharding.PartitionSpec()
+
+
+def test_tp_dp_train_step_runs_and_matches():
+    """2-way TP x 4-way DP step matches single-device numerics."""
+    model = Tacotron2(CFG)
+    params, state = model.init(jax.random.PRNGKey(1))
+    tx, _ = make_optimizer(1e-3, 0.0, scheduler_milestones=[])
+    batch = _batch(seed=5)
+    rng = jax.random.PRNGKey(3)
+
+    single = make_train_step(model, tx, donate=False)
+    ts1, m1 = single(TrainState.create(params, state, tx), batch, rng)
+
+    mesh = make_mesh(model_parallel=2)
+    p2 = place_params(params, mesh)
+    s2 = place_replicated(state, mesh)
+    ts2 = TrainState.create(p2, s2, tx)
+    sharded = make_sharded_train_step(model, tx, mesh, donate=False)
+    ts2b, m2 = sharded(ts2, shard_batch(batch, mesh), rng)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ts1.params["decoder"]["att_rnn"]["w_ih"]),
+        np.asarray(ts2b.params["decoder"]["att_rnn"]["w_ih"]),
+        atol=1e-5,
+    )
