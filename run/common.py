@@ -1,0 +1,110 @@
+"""Shared driver helpers: model/checkpoint loading, CSV IO, vocoding.
+
+The checkpoint loader accepts BOTH our Orbax directories and the reference's
+Lightning ``.ckpt`` files (converted on the fly via tacotron2_tpu.convert) —
+a reference user's trained checkpoints keep working.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from os import path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from tacotron2_tpu.config import Config
+from tacotron2_tpu.models.layers import Policy
+from tacotron2_tpu.models.tacotron2 import Tacotron2, Tacotron2Config
+
+
+def read_manifest(csv_path: str):
+    """Pipe-separated, QUOTE_NONE (reference: run/train.py:40-45)."""
+    import pandas as pd
+
+    return pd.read_csv(csv_path, delimiter="|", quoting=csv.QUOTE_NONE, engine="c")
+
+
+def model_config_from(cfg: Config) -> Tacotron2Config:
+    ext = cfg.extensions
+    return Tacotron2Config(
+        num_chars=cfg.num_chars,
+        encoded_dim=cfg.model.encoded_dim,
+        encoder_kernel_size=cfg.model.encoder_kernel_size,
+        num_mels=cfg.dataset.preprocessing.num_mels,
+        prenet_dim=cfg.model.prenet_dim,
+        att_rnn_dim=cfg.model.att_rnn_dim,
+        att_dim=cfg.model.att_dim,
+        rnn_hidden_dim=cfg.model.rnn_hidden_dim,
+        postnet_dim=cfg.model.postnet_dim,
+        dropout=cfg.model.dropout,
+        speaker_tokens=ext.speaker_tokens.active,
+        num_speakers=ext.speaker_tokens.num_speakers,
+        controls=ext.controls.active,
+        controls_dim=cfg.controls_dim,
+        description_embeddings=cfg.model.description_embeddings,
+        description_embeddings_dim=cfg.model.description_embeddings_dim,
+    )
+
+
+def build_model(cfg: Config, precision: Optional[str] = None) -> Tacotron2:
+    policy = Policy.from_string(precision or cfg.training.precision)
+    return Tacotron2(model_config_from(cfg), policy)
+
+
+def load_tacotron_checkpoint(checkpoint: str):
+    """-> (params, model_state, saved_config_dict). Accepts an Orbax dir or a
+    torch/Lightning .ckpt file."""
+    if path.isdir(checkpoint):
+        from tacotron2_tpu.training import checkpoint as ckpt
+
+        return ckpt.load_model(checkpoint)
+    # torch Lightning checkpoint (reference format)
+    from tacotron2_tpu.convert import load_lightning_checkpoint
+
+    params, state, hparams = load_lightning_checkpoint(checkpoint)
+    return params, state, {"hyper_parameters": hparams}
+
+
+def load_hifigan(checkpoint: Optional[str]):
+    """Load a HiFi-GAN generator (torch checkpoint + side config.json, the
+    upstream hifi-gan repo format — run/say.py:62-90). Returns
+    (HiFiGAN, params) or (None, None). Falls back to the reference's
+    hard-coded UNIVERSAL_V1 path when the flag names a missing file."""
+    if checkpoint is None:
+        return None, None
+    import json
+
+    from tacotron2_tpu.convert import convert_hifigan_state_dict
+    from tacotron2_tpu.models.hifigan import HiFiGAN, HiFiGANConfig
+
+    if not path.exists(checkpoint):
+        fallback = "web_checkpoints/hifi-gan/UNIVERSAL_V1/g_02500000"
+        if path.exists(fallback):
+            checkpoint = fallback
+        else:
+            raise FileNotFoundError(f"HiFi-GAN checkpoint not found: {checkpoint}")
+
+    cfg_path = path.join(path.dirname(checkpoint), "config.json")
+    with open(cfg_path) as f:
+        h = json.load(f)
+
+    import torch
+
+    sd = torch.load(checkpoint, map_location="cpu", weights_only=False)
+    params = convert_hifigan_state_dict(sd, h)
+    return HiFiGAN(HiFiGANConfig.from_dict(h)), params
+
+
+def vocode(mel_post: np.ndarray, hifigan, hifi_params, sample_rate: int) -> np.ndarray:
+    """mel (T, M) log-mel -> waveform. HiFi-GAN on-device if given, else
+    Griffin-Lim on exp(mel) (run/say.py:153-171)."""
+    if hifigan is not None:
+        import jax
+
+        wav = np.asarray(jax.jit(hifigan.apply)(hifi_params, mel_post[None]))[0]
+        return wav
+    from tacotron2_tpu.audio.griffin_lim import mel_to_audio
+
+    return mel_to_audio(np.exp(mel_post), sample_rate=sample_rate)

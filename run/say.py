@@ -1,0 +1,101 @@
+"""Inference CLI driver — the TPU rebuild of the reference run/say.py:24-179.
+
+Pipeline (SURVEY §3.1, the north-star path): text frontend (transliterate ->
+lower -> strip -> end token; NO abbreviation expansion here, matching
+run/say.py:43-60) -> free-running Tacotron decode on device (max_len 5000)
+-> HiFi-GAN on device or Griffin-Lim fallback -> WAV.
+
+Unlike the reference (Tacotron on CPU, vocoder on GPU, run/say.py:125-157),
+everything runs in one XLA program chain on the TPU. ``--random-seed``
+drives the explicit AlwaysDropout PRNG, so it is reproducible by design.
+"""
+
+from __future__ import annotations
+
+import secrets
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from run.common import build_model, load_hifigan, load_tacotron_checkpoint, vocode
+from tacotron2_tpu.audio.io import write_wav
+from tacotron2_tpu.config import Config
+from tacotron2_tpu.text.cleaners import normalize_text
+from tacotron2_tpu.text.encoder import CharEncoder
+
+MAX_LEN = 5000  # frames cap (run/say.py:147)
+
+
+def bert_description_embedding(description: Optional[str], dim: int) -> np.ndarray:
+    """BERT pooler_output of the style description (run/say.py:92-106);
+    zeros when absent."""
+    if description is None:
+        return np.zeros((1, dim), np.float32)
+    from transformers import AutoTokenizer, BertModel
+
+    tokenizer = AutoTokenizer.from_pretrained("google-bert/bert-base-uncased")
+    model = BertModel.from_pretrained("google-bert/bert-base-uncased")
+    tok = tokenizer(description, return_tensors="pt")
+    out = model(**tok).pooler_output.detach().numpy().astype(np.float32)
+    return out
+
+
+def do_say(
+    cfg: Config,
+    device: int,
+    checkpoint: str,
+    text: str,
+    output: str,
+    hifi_gan_checkpoint: Optional[str] = None,
+    random_seed: Optional[int] = None,
+    speaker_id: Optional[int] = None,
+    controls: Optional[str] = None,
+    export_mel: bool = False,
+    description: Optional[str] = None,
+    max_len_override: int = MAX_LEN,
+) -> str:
+    prep = cfg.dataset.preprocessing
+    if random_seed is None:
+        random_seed = secrets.randbelow(2**31)
+
+    # text frontend (run/say.py:43-60 — no abbreviation expansion)
+    norm = normalize_text(text, prep.allowed_chars, prep.end_token, False)
+    encoder = CharEncoder(prep.allowed_chars, prep.end_token)
+    chars_idx, chars_len = encoder.encode_batch([norm])
+
+    hifigan, hifi_params = load_hifigan(hifi_gan_checkpoint)
+
+    kwargs = {}
+    if cfg.model.description_embeddings:
+        kwargs["description_embeddings"] = jnp.asarray(
+            bert_description_embedding(description, cfg.model.description_embeddings_dim)
+        )
+    if cfg.extensions.speaker_tokens.active:
+        kwargs["speaker_id"] = jnp.asarray([speaker_id], jnp.int32)
+    if cfg.extensions.controls.active and controls:
+        kwargs["controls"] = jnp.asarray(
+            [[float(x) for x in controls.split(",")]], jnp.float32
+        )
+
+    params, model_state, _ = load_tacotron_checkpoint(checkpoint)
+    model = build_model(cfg)
+
+    out = jax.jit(
+        lambda p, s, c, l, r: model.forward_infer(p, s, c, l, max_len_override, rng=r, **kwargs)
+    )(params, model_state, jnp.asarray(chars_idx), jnp.asarray(chars_len),
+      jax.random.PRNGKey(random_seed))
+
+    n = int(out.n_frames)
+    # drop the final (gate-fired) frame like the reference (run/say.py:153-161)
+    mel_post = np.asarray(out.mels_post)[0, : max(n - 1, 1)]
+
+    wav = vocode(mel_post, hifigan, hifi_params, prep.sample_rate)
+    write_wav(output, np.asarray(wav), prep.sample_rate)
+
+    if export_mel:
+        np.save(output, mel_post.T)
+    print(f"wrote {output}: {len(wav) / prep.sample_rate:.2f}s ({n} frames, seed {random_seed})")
+    return output

@@ -1,0 +1,167 @@
+"""Demo TTS web server — rebuild of run/server.py:11-205.
+
+Routes match the reference: ``GET /`` (UI), ``GET /config`` (model
+registry), ``POST /generate`` (synthesize -> WAV path), static
+``/web_generated``.
+
+Two serving modes:
+- ``warm`` (default, new): models load once and stay resident; requests run
+  the jitted decode directly — no per-request process spawn.
+- ``subprocess``: behavioral parity with the reference, which shells out to
+  ``python main.py ... say ...`` per request (run/server.py:151-188).
+
+The model registry comes from the server config JSON (``models`` key with
+the reference registry's fields: name, config, checkpoint,
+hifi_gan_checkpoint, multi_speaker, controllable, num_voices) instead of
+being hard-coded in source (run/server.py:11-112).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import html
+import json
+import os
+import uuid
+from os import path
+from typing import Any, Dict, List, Optional
+
+from aiohttp import web
+
+WEB_DIR = path.join(path.dirname(path.dirname(path.abspath(__file__))), "web")
+GENERATED_DIR = "web_generated"
+
+
+class ModelRegistry:
+    def __init__(self, entries: List[Dict[str, Any]], warm: bool = True):
+        self.entries = entries
+        self.warm = warm
+        self._loaded: Dict[int, Any] = {}
+
+    def describe(self) -> List[Dict[str, Any]]:
+        return [
+            {
+                "name": e.get("name", f"model-{i}"),
+                "multi_speaker": e.get("multi_speaker", False),
+                "controllable": e.get("controllable", False),
+                "num_voices": e.get("num_voices", 1),
+            }
+            for i, e in enumerate(self.entries)
+        ]
+
+    def load(self, idx: int):
+        if idx in self._loaded:
+            return self._loaded[idx]
+        from run.common import build_model, load_hifigan, load_tacotron_checkpoint
+        from tacotron2_tpu.config import load_config
+
+        entry = self.entries[idx]
+        cfg = load_config(entry["config"])
+        params, model_state, _ = load_tacotron_checkpoint(entry["checkpoint"])
+        model = build_model(cfg)
+        hifigan, hifi_params = load_hifigan(entry.get("hifi_gan_checkpoint"))
+        bundle = (cfg, model, params, model_state, hifigan, hifi_params, entry)
+        if self.warm:
+            self._loaded[idx] = bundle
+        return bundle
+
+
+def _synthesize(bundle, text: str, seed: Optional[int], speaker_id: Optional[int],
+                controls: Optional[List[float]], out_path: str) -> str:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from run.common import vocode
+    from tacotron2_tpu.audio.io import write_wav
+    from tacotron2_tpu.text.cleaners import normalize_text
+    from tacotron2_tpu.text.encoder import CharEncoder
+
+    cfg, model, params, model_state, hifigan, hifi_params, entry = bundle
+    prep = cfg.dataset.preprocessing
+    norm = normalize_text(text, prep.allowed_chars, prep.end_token, False)
+    encoder = CharEncoder(prep.allowed_chars, prep.end_token)
+    chars, lens = encoder.encode_batch([norm])
+    kwargs = {}
+    if cfg.extensions.speaker_tokens.active:
+        kwargs["speaker_id"] = jnp.asarray([speaker_id or 0], jnp.int32)
+    if cfg.extensions.controls.active and controls is not None:
+        kwargs["controls"] = jnp.asarray([controls], jnp.float32)
+    out = model.forward_infer(
+        params, model_state, jnp.asarray(chars), jnp.asarray(lens), 5000,
+        rng=jax.random.PRNGKey(seed if seed is not None else 0), **kwargs,
+    )
+    n = int(out.n_frames)
+    mel = np.asarray(out.mels_post)[0, : max(n - 1, 1)]
+    wav = vocode(mel, hifigan, hifi_params, prep.sample_rate)
+    write_wav(out_path, np.asarray(wav), prep.sample_rate)
+    return out_path
+
+
+def make_app(server_config: Dict[str, Any], mode: str = "warm") -> web.Application:
+    os.makedirs(GENERATED_DIR, exist_ok=True)
+    registry = ModelRegistry(server_config.get("models", []), warm=(mode == "warm"))
+
+    async def index(request):
+        with open(path.join(WEB_DIR, "index.html")) as f:
+            return web.Response(text=f.read(), content_type="text/html")
+
+    async def config(request):
+        return web.json_response(registry.describe())
+
+    async def generate(request):
+        data = await request.json()
+        req_id = str(uuid.uuid4())
+        # request metadata dump (run/server.py:136-141)
+        with open(path.join(GENERATED_DIR, f"{req_id}.json"), "w") as f:
+            json.dump(data, f)
+
+        text = html.escape(data.get("text", ""))
+        model_idx = int(data.get("model", 0))
+        seed = data.get("seed")
+        seed = int(seed) if seed not in (None, "") else None
+        speaker_id = data.get("voice")
+        speaker_id = int(speaker_id) if speaker_id not in (None, "") else None
+        controls = data.get("controls")
+        out_path = path.join(GENERATED_DIR, f"{req_id}.wav")
+
+        if mode == "subprocess":
+            # parity mode: full say stack in a child process (run/server.py:180-185)
+            entry = registry.entries[model_idx]
+            cmd = [
+                "python", "main.py", "--config", entry["config"], "say",
+                "--checkpoint", entry["checkpoint"], "--text", text, "--out", out_path,
+            ]
+            if entry.get("hifi_gan_checkpoint"):
+                cmd += ["--hifi-gan-checkpoint", entry["hifi_gan_checkpoint"]]
+            if seed is not None:
+                cmd += ["--random-seed", str(seed)]
+            if speaker_id is not None:
+                cmd += ["--speaker-id", str(speaker_id)]
+            if controls:
+                cmd += ["--controls", ",".join(str(float(c)) for c in controls)]
+            proc = await asyncio.create_subprocess_exec(*cmd)
+            await proc.communicate()
+        else:
+            bundle = registry.load(model_idx)
+            loop = asyncio.get_event_loop()
+            await loop.run_in_executor(
+                None, _synthesize, bundle, text, seed, speaker_id, controls, out_path
+            )
+        return web.json_response({"path": out_path})
+
+    app = web.Application()
+    app.add_routes(
+        [
+            web.get("/", index),
+            web.get("/config", config),
+            web.post("/generate", generate),
+            web.static(f"/{GENERATED_DIR}", GENERATED_DIR),
+        ]
+    )
+    return app
+
+
+def do_server(port: int, server_config: Optional[Dict[str, Any]] = None, mode: str = "warm"):
+    app = make_app(server_config or {}, mode=mode)
+    web.run_app(app, port=port)

@@ -1,0 +1,277 @@
+"""Training driver — the TPU rebuild of the reference run/train.py:21-255.
+
+Reproduces the orchestration contract: CSV manifests (pipe-sep), force-
+speaker filtering with the speaker-norm controls guard, description-
+embedding selection (incl. blank-embedding pretraining), the finetune
+protocol (max_steps += finetune_steps, lr/10, batch x2, val every epoch,
+freeze encoder + speaker embedding), TensorBoard scalars/images/histograms,
+final.ckpt / finetuned.ckpt saves, --resume-ckpt.
+
+TPU redesign: one jitted SPMD train step over a device mesh (DP; TP hooks),
+bf16-mixed policy, bucketed static shapes, Orbax checkpoints.
+
+NOTE: the reference crashes when speaker tokens are inactive
+(``list(train_df.speaker_id if active else None)`` -> ``list(None)``,
+run/train.py:120-124); we pass None properly instead of reproducing that.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from os import path
+from typing import Optional
+
+import numpy as np
+
+import jax
+
+from run.common import build_model, model_config_from, read_manifest
+from tacotron2_tpu.config import Config
+from tacotron2_tpu.data import TTSDataLoader, TTSDataset
+from tacotron2_tpu.parallel import (
+    make_mesh_for_batch,
+    place_params,
+    place_replicated,
+    shard_batch,
+)
+from tacotron2_tpu.training import checkpoint as ckpt_lib
+from tacotron2_tpu.training.logging import TrainLogger
+from tacotron2_tpu.training.optimizer import make_optimizer
+from tacotron2_tpu.training.step import make_eval_step
+from tacotron2_tpu.training.train_state import TrainState
+from tacotron2_tpu.parallel import make_sharded_train_step
+from tacotron2_tpu.training.optimizer import multistep_lr_schedule
+
+
+def _dataset_kwargs(prep) -> dict:
+    return dict(
+        allowed_chars=prep.allowed_chars,
+        end_token=prep.end_token,
+        silence=prep.silence,
+        trim=prep.trim,
+        trim_top_db=prep.trim_top_db,
+        trim_frame_length=prep.trim_frame_length,
+        expand_abbreviations=prep.expand_abbreviations,
+        num_mels=prep.num_mels,
+        cache=prep.cache,
+        sample_rate=prep.sample_rate,
+    )
+
+
+def do_train(
+    cfg: Config,
+    raw_config: dict,
+    device: int,
+    speech_dir: str,
+    results_dir: Optional[str],
+    resume_ckpt: Optional[str],
+    finetune: bool = False,
+    finetune_steps: Optional[int] = None,
+    seed: int = 0,
+    log_every: int = 50,
+    max_steps_override: Optional[int] = None,
+) -> str:
+    if results_dir is None:
+        results_dir = f"results_{cfg.training.name} {datetime.datetime.now()}"
+    os.makedirs(results_dir, exist_ok=True)
+    cache_dir = path.join(results_dir, "mel_cache")
+
+    ext = cfg.extensions
+    train_df = read_manifest(cfg.dataset.train)
+    val_df = read_manifest(cfg.dataset.val)
+
+    # force_speaker restriction (run/train.py:48-67); config guards already
+    # validated at load time (tacotron2_tpu.config._validate)
+    if ext.speaker_tokens.force_speaker is not None:
+        fs = ext.speaker_tokens.force_speaker
+        train_df = train_df[train_df.speaker_id == fs].reset_index(drop=True)
+        val_df = val_df[val_df.speaker_id == fs].reset_index(drop=True)
+
+    # description-embedding selection (run/train.py:70-107)
+    description_augment = False
+    if ext.descriptions.finetuneable and finetune:
+        import pandas as pd
+
+        augmented_ids = set(
+            pd.read_csv(path.join(speech_dir, "augmented_ids.csv"), header=None)[0]
+        )
+        train_df = train_df[train_df.id.isin(augmented_ids)]
+        description_augment = True
+
+    desc_train = desc_val = None
+    if ext.descriptions.bert_embeddings:
+        if not ext.descriptions.finetuneable or finetune:
+            desc_train = [x if isinstance(x, str) else None for x in train_df.description_embedding]
+            desc_val = [x if isinstance(x, str) else None for x in val_df.description_embedding]
+        else:  # pretraining a finetuneable model: blank embeddings
+            desc_train = [None] * len(train_df)
+            desc_val = [None] * len(val_df)
+
+    # finetune adjustments (run/train.py:109-113)
+    lr = cfg.training.lr
+    batch_size = cfg.training.batch_size
+    max_steps = max_steps_override or cfg.training.max_steps
+    val_check_interval = cfg.training.val_check_interval
+    if finetune:
+        assert finetune_steps is not None, "If finetuning, --finetune-steps is required!"
+        max_steps += finetune_steps
+        lr /= 10
+        val_check_interval = 1.0
+        batch_size *= 2
+
+    features_of = lambda df: (
+        df[ext.controls.features].values.tolist() if ext.controls.active else None
+    )
+    speakers_of = lambda df: (list(df.speaker_id) if ext.speaker_tokens.active else None)
+
+    prep_kwargs = _dataset_kwargs(cfg.dataset.preprocessing)
+    train_dataset = TTSDataset(
+        filenames=list(train_df.wav),
+        texts=list(train_df.text),
+        base_dir=speech_dir,
+        speaker_ids=speakers_of(train_df),
+        features=features_of(train_df),
+        cache_dir=cache_dir,
+        description_embeddings=desc_train,
+        description_embeddings_dim=cfg.model.description_embeddings_dim or 768,
+        description_embeddings_augment=description_augment,
+        **prep_kwargs,
+    )
+    val_dataset = TTSDataset(
+        filenames=list(val_df.wav),
+        texts=list(val_df.text),
+        base_dir=speech_dir,
+        speaker_ids=speakers_of(val_df),
+        features=features_of(val_df),
+        cache_dir=cache_dir,
+        description_embeddings=desc_val,
+        description_embeddings_dim=cfg.model.description_embeddings_dim or 768,
+        **prep_kwargs,
+    )
+
+    train_loader = TTSDataLoader(
+        train_dataset, batch_size=batch_size, num_workers=8, shuffle=True,
+        drop_last=True, bucket_chars=32, bucket_frames=128, seed=seed,
+    )
+    val_loader = TTSDataLoader(
+        val_dataset, batch_size=64, num_workers=8, shuffle=False, drop_last=False,
+        bucket_chars=32, bucket_frames=128,
+    )
+
+    # model / optimizer ------------------------------------------------
+    model = build_model(cfg)
+    milestones = [int(x * max_steps) for x in cfg.model.scheduler_milestones]
+
+    rng = jax.random.PRNGKey(seed)
+    params, model_state = model.init(rng)
+
+    if resume_ckpt is not None:
+        from run.common import load_tacotron_checkpoint
+
+        params, model_state, _ = load_tacotron_checkpoint(resume_ckpt)
+
+    freeze_mask = None
+    if finetune:
+        # freeze encoder + speaker embedding (run/train.py:229-233)
+        freeze_mask = jax.tree.map(lambda _: True, params)
+        freeze_mask["encoder"] = jax.tree.map(lambda _: False, params["encoder"])
+        if "speaker_embedding" in params:
+            freeze_mask["speaker_embedding"] = jax.tree.map(
+                lambda _: False, params["speaker_embedding"]
+            )
+
+    tx, schedule = make_optimizer(
+        lr, cfg.training.weight_decay, scheduler_milestones=milestones,
+        grad_clip=1.0, freeze_mask=freeze_mask,
+    )
+
+    mesh = make_mesh_for_batch(batch_size)
+    params = place_params(params, mesh)
+    model_state = place_replicated(model_state, mesh)
+    ts = TrainState.create(params, model_state, tx)
+
+    if resume_ckpt is not None and ckpt_lib.has_train_state(resume_ckpt):
+        opt_state, step0 = ckpt_lib.load_train(resume_ckpt, ts.opt_state)
+        opt_state = place_replicated(opt_state, mesh)
+        ts = TrainState(params=ts.params, model_state=ts.model_state,
+                        opt_state=opt_state, step=np.asarray(step0, np.int32))
+
+    train_step = make_sharded_train_step(model, tx, mesh)
+    eval_step = make_eval_step(model)
+
+    logger = TrainLogger(path.join(results_dir, "lightning_logs"), cfg.training.name)
+
+    # validation cadence: Lightning semantics — float = fraction of an epoch,
+    # int = every N steps (run/train.py Trainer(**{"val_check_interval": ...}))
+    steps_per_epoch = max(1, len(train_loader))
+    if val_check_interval is None:
+        val_every = steps_per_epoch
+    elif isinstance(val_check_interval, float):
+        val_every = max(1, int(steps_per_epoch * val_check_interval))
+    else:
+        val_every = int(val_check_interval)
+
+    def run_validation(step: int):
+        losses, firsts0, lens0 = [], None, None
+        for i, batch in enumerate(val_loader):
+            vb = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+            metrics, firsts = eval_step(ts.params, ts.model_state, vb, jax.random.PRNGKey(step))
+            losses.append(float(metrics["loss"]))
+            if i == 0:
+                firsts0 = jax.tree.map(np.asarray, firsts)
+                lens0 = (int(batch["mel_len"][0]), int(batch["chars_len"][0]))
+        if losses:
+            mean_loss = float(np.mean(losses))
+            logger.scalars({"val_loss": mean_loss, "val_mel_loss": mean_loss}, step)
+            if firsts0 is not None:
+                logger.validation_images(firsts0, lens0[0], lens0[1], step)
+            return mean_loss
+        return None
+
+    # train loop ---------------------------------------------------------
+    step = int(ts.step)
+    data_rng = jax.random.PRNGKey(seed + 1)
+    t_last, frames_done = time.time(), 0
+    print(f"train: {len(train_dataset)} utts, {steps_per_epoch} steps/epoch, "
+          f"max_steps {max_steps}, batch {batch_size}, mesh {dict(mesh.shape)}")
+    while step < max_steps:
+        for batch in train_loader:
+            if step >= max_steps:
+                break
+            device_batch = shard_batch(
+                {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}, mesh
+            )
+            ts, metrics = train_step(ts, device_batch, data_rng)
+            frames_done += int(batch["mel"].shape[0] * batch["mel"].shape[1])
+            step += 1
+            if step % log_every == 0 or step == 1:
+                m = {f"training_{k}": float(v) for k, v in metrics.items() if k != "loss"}
+                m["training_loss"] = float(metrics["loss"])
+                m["lr"] = float(schedule(step))
+                dt = time.time() - t_last
+                m["mel_frames_per_sec"] = frames_done / max(dt, 1e-9)
+                t_last, frames_done = time.time(), 0
+                logger.scalars(m, step)
+                print(f"step {step}: loss {m['training_loss']:.4f} "
+                      f"({m['mel_frames_per_sec']:.0f} frames/s)")
+            if step % 1000 == 0:  # histograms (model/tts_model.py:289-292)
+                logger.histograms(ts.params, step)
+            if step % val_every == 0:
+                run_validation(step)
+            if step % 5000 == 0:
+                ckpt_lib.save_checkpoint(
+                    path.join(results_dir, "last.ckpt"), ts.params, ts.model_state,
+                    raw_config, opt_state=ts.opt_state, step=step,
+                )
+
+    run_validation(step)
+    final_name = "finetuned.ckpt" if finetune else "final.ckpt"
+    out = ckpt_lib.save_checkpoint(
+        path.join(results_dir, final_name), ts.params, ts.model_state,
+        raw_config, opt_state=ts.opt_state, step=step,
+    )
+    logger.close()
+    print(f"saved {out}")
+    return out

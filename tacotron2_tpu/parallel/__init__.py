@@ -1,6 +1,7 @@
 from tacotron2_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
+    make_mesh_for_batch,
     make_sharded_train_step,
     param_shardings,
     place_params,
@@ -11,6 +12,7 @@ from tacotron2_tpu.parallel.mesh import (
 
 __all__ = [
     "make_mesh",
+    "make_mesh_for_batch",
     "batch_sharding",
     "param_shardings",
     "place_params",

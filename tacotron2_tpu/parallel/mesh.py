@@ -42,6 +42,16 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def make_mesh_for_batch(batch_size: int, model_parallel: int = 1) -> Mesh:
+    """Largest data-parallel mesh whose size divides the global batch."""
+    devices = jax.devices()
+    n = len(devices) // model_parallel * model_parallel
+    while n > model_parallel and batch_size % (n // model_parallel) != 0:
+        n -= model_parallel
+    n = max(n, model_parallel)
+    return make_mesh(n_devices=n, model_parallel=model_parallel)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -1,0 +1,92 @@
+"""Checkpoint / resume via Orbax.
+
+Reference behavior to reproduce (SURVEY §5.4): Lightning embeds
+hyperparameters in the ckpt (model/tts_model.py:46); resume restores
+optimizer/scheduler/step (run/train.py:245-250); explicit ``final.ckpt`` /
+``finetuned.ckpt`` saves (run/train.py:252-255).
+
+Our layout (one checkpoint = one directory):
+    <dir>/config.json   — the full 4-section config + num_chars (the
+                          "save_hyperparameters" analog)
+    <dir>/model/        — Orbax: {"params", "model_state"}
+    <dir>/train/        — Orbax: {"opt_state", "step"} (resume only)
+
+Inference loads ``model/`` with no optimizer; resume additionally restores
+``train/`` against the live optimizer's abstract state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from os import path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    params,
+    model_state,
+    config_dict: Optional[Dict[str, Any]] = None,
+    opt_state=None,
+    step: Optional[int] = None,
+) -> str:
+    ckpt_dir = path.abspath(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    ckptr = _checkpointer()
+    ckptr.save(
+        path.join(ckpt_dir, "model"),
+        {"params": params, "model_state": model_state},
+        force=True,
+    )
+    if opt_state is not None:
+        ckptr.save(
+            path.join(ckpt_dir, "train"),
+            {"opt_state": opt_state, "step": np.asarray(step if step is not None else 0)},
+            force=True,
+        )
+    if config_dict is not None:
+        with open(path.join(ckpt_dir, "config.json"), "w") as f:
+            json.dump(config_dict, f, indent=2)
+    ckptr.wait_until_finished()
+    return ckpt_dir
+
+
+def load_model(ckpt_dir: str) -> Tuple[Any, Any, Dict[str, Any]]:
+    """-> (params, model_state, saved_config_dict)."""
+    ckpt_dir = path.abspath(ckpt_dir)
+    ckptr = _checkpointer()
+    restored = ckptr.restore(path.join(ckpt_dir, "model"))
+    cfg = {}
+    cfg_path = path.join(ckpt_dir, "config.json")
+    if path.exists(cfg_path):
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+    return restored["params"], restored["model_state"], cfg
+
+
+def load_train(ckpt_dir: str, abstract_opt_state) -> Tuple[Any, int]:
+    """Resume: restore (opt_state, step) against the live optimizer layout."""
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = path.abspath(ckpt_dir)
+    ckptr = _checkpointer()
+    target = {
+        "opt_state": jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_opt_state),
+        "step": np.asarray(0),
+    }
+    restored = ckptr.restore(path.join(ckpt_dir, "train"), target)
+    return restored["opt_state"], int(restored["step"])
+
+
+def has_train_state(ckpt_dir: str) -> bool:
+    return path.exists(path.join(path.abspath(ckpt_dir), "train"))
