@@ -138,6 +138,64 @@ def load_lightning_checkpoint(path: str) -> Tuple[dict, dict, Dict[str, Any]]:
     return params, state, dict(hparams)
 
 
+def _conv2d(sd, prefix, bias=True):
+    p = {"w": _t(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}  # (O,I,H,W)->(H,W,I,O)
+    if bias:
+        p["b"] = _t(sd[f"{prefix}.bias"])
+    return p
+
+
+def _gru(sd, prefix, suffix=""):
+    return {
+        "w_ih": _t(sd[f"{prefix}.weight_ih{suffix}"]).T,
+        "w_hh": _t(sd[f"{prefix}.weight_hh{suffix}"]).T,
+        "b_ih": _t(sd[f"{prefix}.bias_ih{suffix}"]),
+        "b_hh": _t(sd[f"{prefix}.bias_hh{suffix}"]),
+    }
+
+
+def convert_gst_state_dict(sd: Dict[str, Any], num_convs: int = 6) -> Tuple[dict, dict]:
+    """Reference GST state dict (model/gst.py:158-175) -> (params, state)."""
+    params = {"reference_encoder": {"convs": [], "bns": [], "gru": None}, "stl": {}}
+    state = {"reference_encoder": {"bns": []}}
+    re = params["reference_encoder"]
+    for i in range(num_convs):
+        re["convs"].append(_conv2d(sd, f"reference_encoder.convs.{i}"))
+        bn_p, bn_s = _bn(sd, f"reference_encoder.bns.{i}")
+        re["bns"].append(bn_p)
+        state["reference_encoder"]["bns"].append(bn_s)
+    re["gru"] = _gru(sd, "reference_encoder.gru", "_l0")
+    params["stl"] = {
+        "embed": _t(sd["stl.embed"]),
+        "attention": {
+            "w_query": _linear(sd, "stl.attention.W_query", bias=False),
+            "w_key": _linear(sd, "stl.attention.W_key", bias=False),
+            "w_value": _linear(sd, "stl.attention.W_value", bias=False),
+        },
+    }
+    return params, state
+
+
+def convert_embedding_encoder_state_dict(sd: Dict[str, Any], num_layers: int = 2) -> dict:
+    """Reference EmbeddingEncoder state dict (model/embedding_encoder.py:44)."""
+    gru = []
+    for layer in range(num_layers):
+        gru.append(
+            {
+                "fwd": _gru(sd, "encoder", f"_l{layer}"),
+                "bwd": _gru(sd, "encoder", f"_l{layer}_reverse"),
+            }
+        )
+    return {
+        "gru": gru,
+        "attention": {
+            "history": _linear(sd, "attention.history", bias=False),
+            "context": _linear(sd, "attention.context", bias=False),
+            "v": _linear(sd, "attention.v", bias=False),
+        },
+    }
+
+
 # ---------------------------------------------------------------------------
 # HiFi-GAN generator
 # ---------------------------------------------------------------------------

@@ -281,6 +281,133 @@ def lstm_sequence(params, xs, lengths, reverse: bool = False, policy: Policy = F
 
 
 # ---------------------------------------------------------------------------
+# Conv2d / pooling (NHWC) — used by GST's reference encoder and the prosody
+# predictor (reference: model/gst.py:22-36, model/prosodic_features/...)
+# ---------------------------------------------------------------------------
+
+
+def conv2d_init(key, in_ch: int, out_ch: int, kernel, bias: bool = True, dtype=jnp.float32, xavier: bool = False, gain: float = 1.0):
+    kh, kw = kernel if isinstance(kernel, tuple) else (kernel, kernel)
+    k1, k2 = jax.random.split(key)
+    if xavier:  # xavier_uniform with gain (prosody predictor's XavierConv2d)
+        fan_in, fan_out = in_ch * kh * kw, out_ch * kh * kw
+        bound = gain * np.sqrt(6.0 / (fan_in + fan_out))
+    else:  # torch Conv2d default
+        bound = 1.0 / np.sqrt(in_ch * kh * kw)
+    params = {"w": _uniform(k1, (kh, kw, in_ch, out_ch), bound, dtype)}
+    if bias:
+        b_bound = 1.0 / np.sqrt(in_ch * kh * kw)
+        params["b"] = _uniform(k2, (out_ch,), b_bound, dtype)
+    return params
+
+
+def conv2d_apply(params, x, stride=(1, 1), padding=(0, 0), policy: Policy = F32):
+    """2-D convolution over (B, H, W, C)."""
+    ph, pw = padding
+    y = jax.lax.conv_general_dilated(
+        policy.cast(x),
+        policy.cast(params["w"]),
+        window_strides=stride,
+        padding=[(ph, ph), (pw, pw)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+def max_pool2d(x, kernel, stride):
+    """torch MaxPool2d over (B, H, W, C), floor-mode (drops remainders)."""
+    kh, kw = kernel
+    sh, sw = stride
+    B, H, W, C = x.shape
+    y = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, kh, kw, 1), (1, sh, sw, 1), "VALID"
+    )
+    return y
+
+
+# ---------------------------------------------------------------------------
+# GRU cell (torch packing: gates ordered r, z, n; b_hn stays inside the tanh)
+# ---------------------------------------------------------------------------
+
+
+def gru_cell_init(key, in_dim: int, hidden: int, dtype=jnp.float32):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    bound = 1.0 / np.sqrt(hidden)
+    return {
+        "w_ih": _uniform(k1, (in_dim, 3 * hidden), bound, dtype),
+        "w_hh": _uniform(k2, (hidden, 3 * hidden), bound, dtype),
+        "b_ih": _uniform(k3, (3 * hidden,), bound, dtype),
+        "b_hh": _uniform(k4, (3 * hidden,), bound, dtype),
+    }
+
+
+def gru_cell_apply(params, x, h, policy: Policy = F32, x_proj=None):
+    """torch nn.GRU step: r = s(xr+hr), z = s(xz+hz),
+    n = tanh(xn + r * (h @ Whn + bhn)), h' = (1-z)*n + z*h."""
+    if x_proj is None:
+        x_proj = dot(x, params["w_ih"], policy) + params["b_ih"]
+    h_proj = dot(h, params["w_hh"], policy) + params["b_hh"]
+    xr, xz, xn = jnp.split(x_proj, 3, axis=-1)
+    hr, hz, hn = jnp.split(h_proj, 3, axis=-1)
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1.0 - z) * n + z * h
+
+
+def gru_sequence(params, xs, lengths=None, reverse: bool = False, policy: Policy = F32):
+    """GRU over (B, T, C) with packed-sequence parity (like lstm_sequence).
+    Returns (outputs (B, T, H), final_hidden (B, H)) where final_hidden is
+    the state at each sequence's true last step."""
+    B, T, _ = xs.shape
+    hidden = params["w_hh"].shape[0]
+
+    if lengths is None:
+        lengths = jnp.full((B,), T, jnp.int32)
+
+    if reverse:
+        t_idx = jnp.arange(T)[None, :]
+        rev_idx = jnp.where(t_idx < lengths[:, None], lengths[:, None] - 1 - t_idx, t_idx)
+        xs = jnp.take_along_axis(xs, rev_idx[:, :, None], axis=1)
+
+    x_proj = dot(xs.reshape(B * T, -1), params["w_ih"], policy).reshape(B, T, 3 * hidden)
+    x_proj = (x_proj + params["b_ih"]).swapaxes(0, 1)  # (T, B, 3H)
+    t_steps = jnp.arange(T)
+
+    def step(carry, inp):
+        h, h_final = carry
+        xp, t = inp
+        h2 = gru_cell_apply(params, None, h, policy, x_proj=xp)
+        valid = (t < lengths)[:, None]
+        h2 = jnp.where(valid, h2, h)  # hold state past the end (packed parity)
+        h_final = jnp.where((t == lengths - 1)[:, None], h2, h_final)
+        return (h2, h_final), h2
+
+    init = (jnp.zeros((B, hidden), jnp.float32), jnp.zeros((B, hidden), jnp.float32))
+    (h_last, h_final), hs = jax.lax.scan(step, init, (x_proj, t_steps))
+    hs = hs.swapaxes(0, 1)
+
+    if reverse:
+        hs = jnp.take_along_axis(hs, rev_idx[:, :, None], axis=1)
+
+    mask = (jnp.arange(T)[None, :] < lengths[:, None])[:, :, None]
+    return jnp.where(mask, hs, 0.0), h_final
+
+
+def birnn_stack_init(key, cell_init, in_dim: int, hidden: int, num_layers: int, dtype=jnp.float32):
+    """Multi-layer bidirectional RNN params (torch nn.GRU/LSTM layout)."""
+    layers_p = []
+    for layer in range(num_layers):
+        key, kf, kb = jax.random.split(key, 3)
+        d = in_dim if layer == 0 else 2 * hidden
+        layers_p.append({"fwd": cell_init(kf, d, hidden), "bwd": cell_init(kb, d, hidden)})
+    return layers_p
+
+
+# ---------------------------------------------------------------------------
 # Dropout (torch semantics: scale by 1/(1-p) at train time)
 # ---------------------------------------------------------------------------
 
