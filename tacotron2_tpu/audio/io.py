@@ -86,6 +86,17 @@ def read_wav(path: str, mono: bool = True) -> Tuple[np.ndarray, int]:
     return np.ascontiguousarray(samples, dtype=np.float32), int(sample_rate)
 
 
+def load_audio(path: str, mono: bool = True) -> Tuple[np.ndarray, int]:
+    """Format-dispatching loader (WAV via the numpy codec, FLAC via the
+    native C++ decoder) — the torchaudio.load equivalent."""
+    lower = path.lower()
+    if lower.endswith(".flac"):
+        from tacotron2_tpu.audio.flac import read_flac
+
+        return read_flac(path, mono=mono)
+    return read_wav(path, mono=mono)
+
+
 def write_wav(path: str, wav: np.ndarray, sample_rate: int, subtype: str = "PCM_16") -> None:
     """Write a WAV file. Default PCM_16 matches soundfile's WAV default
     (run/say.py:173 writes float data through soundfile)."""
