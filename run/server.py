@@ -88,7 +88,8 @@ def _synthesize(bundle, text: str, seed: Optional[int], speaker_id: Optional[int
     if cfg.extensions.controls.active and controls is not None:
         kwargs["controls"] = jnp.asarray([controls], jnp.float32)
     out = model.forward_infer(
-        params, model_state, jnp.asarray(chars), jnp.asarray(lens), 5000,
+        params, model_state, jnp.asarray(chars), jnp.asarray(lens),
+        int(entry.get("max_len", 5000)),  # frames cap (run/say.py:147)
         rng=jax.random.PRNGKey(seed if seed is not None else 0), **kwargs,
     )
     n = int(out.n_frames)

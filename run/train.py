@@ -231,6 +231,11 @@ def do_train(
         return None
 
     # train loop ---------------------------------------------------------
+    # optional XLA profiler trace (SURVEY §5.1): set TACOTRON2_TRACE_DIR
+    from tacotron2_tpu.utils.profiling import device_trace
+
+    trace_ctx = device_trace(os.environ.get("TACOTRON2_TRACE_DIR"))
+    trace_ctx.__enter__()
     step = int(ts.step)
     data_rng = jax.random.PRNGKey(seed + 1)
     t_last, frames_done = time.time(), 0
@@ -266,6 +271,7 @@ def do_train(
                     raw_config, opt_state=ts.opt_state, step=step,
                 )
 
+    trace_ctx.__exit__(None, None, None)
     run_validation(step)
     final_name = "finetuned.ckpt" if finetune else "final.ckpt"
     out = ckpt_lib.save_checkpoint(

@@ -1,0 +1,96 @@
+"""Web-server tests: the reference's route surface (GET /, GET /config,
+POST /generate, static /web_generated — run/server.py:194-205) against a
+warm in-process tiny model."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+aiohttp = pytest.importorskip("aiohttp")
+from aiohttp.test_utils import AioHTTPTestCase  # noqa: E402
+
+import jax  # noqa: E402
+
+LJ_CHARS = "!'(),.:;? \\-abcdefghijklmnopqrstuvwxyz"
+
+
+@pytest.fixture(scope="module")
+def tiny_server_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("server")
+    raw_cfg = {
+        "dataset": {"preprocessing": {"allowed_chars": LJ_CHARS, "end_token": "^",
+                                       "num_mels": 16, "trim": False, "cache": False}},
+        "training": {"lr": 1e-3, "batch_size": 2, "weight_decay": 0.0,
+                     "precision": "32-true", "name": "srv",
+                     "args": {"max_steps": 10}},
+        "model": {"scheduler_milestones": [],
+                  "args": {"prenet_dim": 8, "att_rnn_dim": 16, "att_dim": 8,
+                           "rnn_hidden_dim": 16, "postnet_dim": 8, "dropout": 0.1,
+                           "encoded_dim": 16, "encoder_kernel_size": 5}},
+        "extensions": {"speaker_tokens": {"active": False}, "controls": {"active": False}},
+    }
+    cfg_path = str(root / "config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(raw_cfg, f)
+
+    from tacotron2_tpu.config import config_from_dict
+    from run.common import build_model
+    from tacotron2_tpu.training.checkpoint import save_checkpoint
+
+    cfg = config_from_dict(raw_cfg)
+    model = build_model(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    ckpt = str(root / "tiny.ckpt")
+    save_checkpoint(ckpt, params, state, raw_cfg)
+
+    server_config = {
+        "models": [
+            {"name": "tiny", "config": cfg_path, "checkpoint": ckpt,
+             "multi_speaker": False, "controllable": False, "num_voices": 1,
+             "max_len": 16},
+        ]
+    }
+    return server_config
+
+
+def test_server_routes(tiny_server_setup, tmp_path, monkeypatch):
+    import asyncio
+
+    monkeypatch.chdir(tmp_path)  # web_generated lands in a temp cwd
+    asyncio.run(_run_server_checks(tiny_server_setup))
+
+
+async def _run_server_checks(server_config):
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from run.server import make_app
+
+    app = make_app(server_config, mode="warm")
+    async with TestClient(TestServer(app)) as client:
+        # UI
+        resp = await client.get("/")
+        assert resp.status == 200
+        assert "Tacotron" in await resp.text()
+        # registry
+        resp = await client.get("/config")
+        models = await resp.json()
+        assert models == [
+            {"name": "tiny", "multi_speaker": False, "controllable": False, "num_voices": 1}
+        ]
+        # generation
+        resp = await client.post(
+            "/generate", json={"text": "hello server", "model": 0, "seed": 3}
+        )
+        assert resp.status == 200
+        body = await resp.json()
+        assert body["path"].endswith(".wav")
+        assert os.path.exists(body["path"])
+        # generated wav served statically
+        resp = await client.get("/" + body["path"])
+        assert resp.status == 200
+        data = await resp.read()
+        assert data[:4] == b"RIFF"
+        # request metadata dump exists (run/server.py:136-141)
+        assert os.path.exists(body["path"].replace(".wav", ".json"))
