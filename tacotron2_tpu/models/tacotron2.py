@@ -331,6 +331,60 @@ class Tacotron2:
         return out._replace(n_frames=t)
 
     # ------------------------------------------------------------------
+    def forward_infer_fused(
+        self,
+        params,
+        state,
+        chars_idx,
+        chars_len,
+        max_len: int,
+        rng,
+        speaker_id=None,
+        controls=None,
+        description_embeddings=None,
+        prenet_dropout: bool = True,
+        interpret: bool = False,
+    ) -> Tacotron2Output:
+        """Free-running decode through the fused Pallas kernel
+        (tacotron2_tpu.ops.decoder_loop_pallas) — the TPU fast path. Same
+        semantics as ``forward_infer``; requires att_rnn_dim ==
+        rnn_hidden_dim (true for every shipped config)."""
+        from tacotron2_tpu.ops.decoder_loop_pallas import (
+            FusedDecodeLoop,
+            pack_decoder_params,
+        )
+
+        cfg = self.cfg
+        B, L = chars_idx.shape
+        rng, enc_rng, pre_rng = jax.random.split(rng, 3)
+        encoded, att_encoded, mask, _ = self._encode(
+            params, state, chars_idx, chars_len, False, enc_rng,
+            speaker_id, description_embeddings,
+        )
+        packed = pack_decoder_params(
+            params, cfg.num_mels, cfg.encoded_full_dim, cfg.att_rnn_dim,
+            cfg.rnn_hidden_dim, cfg.prenet_dim, cfg.controls_dim,
+            dtype=self.policy.compute_dtype if self.policy.compute_dtype == jnp.bfloat16 else jnp.float32,
+        )
+        loop = FusedDecodeLoop(
+            num_mels=cfg.num_mels, encoded_full_dim=cfg.encoded_full_dim,
+            att_rnn_dim=cfg.att_rnn_dim, prenet_dim=cfg.prenet_dim,
+            att_dim=cfg.att_dim, max_chars=L, batch=B,
+            controls_dim=cfg.controls_dim, dropout=cfg.dropout,
+            interpret=interpret,
+        )
+        mels, gates, aligns, lengths, exec_steps = loop.decode(
+            packed, encoded, att_encoded, mask, max_len,
+            rng=pre_rng, controls=controls, prenet_dropout=prenet_dropout,
+        )
+        post, _ = postnet_mod.apply(
+            params["postnet"], state["postnet"], mels, False, cfg.dropout, None, self.policy
+        )
+        mels_post = mels + post
+        out = self._mask_outputs(mels, mels_post, gates[..., None], aligns, lengths)
+        return out._replace(n_frames=exec_steps)
+
+    # ------------------------------------------------------------------
     def _check_controls(self, controls):
         if self.cfg.controls and controls is None:
             raise ValueError("Controls are enabled, but no control vector was passed!")

@@ -1,0 +1,494 @@
+"""Fused autoregressive decode loop as ONE Pallas TPU kernel.
+
+This is SURVEY §7 hard-part #5: the whole per-frame decoder step — prenet
+(with inference dropout), attention LSTM cell, location-sensitive attention
+(k=31 conv + energies + masked softmax + context), decoder LSTM cell, and
+the mel/gate heads — runs inside a single kernel that decodes T_CHUNK
+frames per launch. Recurrent state lives in VMEM for the whole chunk; the
+two fat LSTM weight matrices (~18M params, the bandwidth bill) are streamed
+from HBM in column chunks by the Pallas grid pipeline, overlapping DMA with
+compute. An XLA while_loop around chunks keeps the reference's
+early-stop-on-gate semantics (model/tacotron2.py:319-322) at chunk
+granularity.
+
+Why: the step is weight-bandwidth bound (measured flat ~86 µs/step for
+batch 1-32 on v5e with the plain XLA while_loop; the bf16 streaming floor
+is ~45 µs). Fusing removes the ~10 per-step kernel dispatches and lets the
+weight DMAs run back-to-back.
+
+Design notes:
+- grid = (T_CHUNK, 2 phases, NC column-chunks). Phase 0 accumulates the
+  attention-LSTM gates (runs prenet at its first chunk and attention at its
+  last); phase 1 accumulates the decoder-LSTM gates (runs the heads at its
+  last). Weight index maps hold the previous block during the phase that
+  doesn't use them, so each matrix is DMA'd exactly once per frame.
+- the location conv (31 taps, 2 chans -> 32 filters) and the 32->A dense
+  are both linear, so they are FOLDED into one (62, A) matrix at packing
+  time; the kernel computes loc features directly in A-space (lane-aligned).
+- prenet AlwaysDropout masks are precomputed with jax.random OUTSIDE the
+  kernel (16 KB/step) so the fused path is bit-comparable with the XLA path
+  under the same PRNG key.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+T_CHUNK = 64  # frames decoded per kernel launch
+CW = 512  # weight column chunk (4H=4096 -> NC=8)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class PackedDecoder(NamedTuple):
+    """Kernel-ready weights (bf16, concatenated + padded layouts)."""
+
+    w_att: jnp.ndarray  # (R1, 4H) rows = [prenet P | ctx D | att_h H]
+    b_att: jnp.ndarray  # (1, 4H)
+    w_dec: jnp.ndarray  # (R2, 4H) rows = [att_h H | ctx D | controls E | rnn_h H]
+    b_dec: jnp.ndarray  # (1, 4H)
+    wp1: jnp.ndarray  # (M, P)
+    wp2: jnp.ndarray  # (P, P)
+    wq: jnp.ndarray  # (H, A)
+    w_loc: jnp.ndarray  # (62, 32): rows 2k / 2k+1 = tap k over att_w / att_w_cum
+    w_loc_dense: jnp.ndarray  # (32, A)
+    wv: jnp.ndarray  # (A, 1)
+    w_out: jnp.ndarray  # (R3, 128) rows = [rnn_h H | ctx D | controls E]; cols mel..gate
+    b_out: jnp.ndarray  # (1, 128)
+
+
+def pack_decoder_params(params, num_mels: int, encoded_full_dim: int,
+                        att_rnn_dim: int, rnn_hidden_dim: int, prenet_dim: int,
+                        controls_dim: int = 0, dtype=jnp.bfloat16) -> PackedDecoder:
+    """Repack the model pytree into the kernel's concatenated layouts."""
+    P, D, H, M = prenet_dim, encoded_full_dim, att_rnn_dim, num_mels
+    assert att_rnn_dim == rnn_hidden_dim, "kernel assumes att_rnn_dim == rnn_hidden_dim"
+    E = _round_up(max(controls_dim, 1), 16)
+    dec = params["decoder"]
+
+    # attention LSTM: input rows [prenet, ctx] + recurrent rows [att_h]
+    w_att = jnp.concatenate([dec["att_rnn"]["w_ih"], dec["att_rnn"]["w_hh"]], axis=0)
+    b_att = (dec["att_rnn"]["b_ih"] + dec["att_rnn"]["b_hh"])[None, :]
+
+    # decoder LSTM: input rows [att_h, ctx, controls(padded)] + recurrent [rnn_h]
+    w_ih = dec["lstm"]["w_ih"]  # (H + D + controls_dim, 4H)
+    pad_e = E - controls_dim
+    w_ih_padded = jnp.concatenate(
+        [w_ih[: H + D], jnp.pad(w_ih[H + D :], ((0, pad_e), (0, 0)))], axis=0
+    )
+    w_dec = jnp.concatenate([w_ih_padded, dec["lstm"]["w_hh"]], axis=0)
+    b_dec = (dec["lstm"]["b_ih"] + dec["lstm"]["b_hh"])[None, :]
+
+    att = dec["attention"]
+    # location conv (31, 2, 32) flattened so row 2k = tap k over att_w and
+    # row 2k+1 = tap k over att_w_cum (WIO layout makes this a reshape)
+    w_loc_flat = att["location_conv"]["w"].reshape(62, 32)
+
+    # heads: (H + D + E, 128); col 0..M-1 mel, col M gate
+    mel_w = dec["mel_out"]["w"]  # (H + D + controls_dim, M)
+    mel_w = jnp.concatenate(
+        [mel_w[: H + D], jnp.pad(mel_w[H + D :], ((0, pad_e), (0, 0)))], axis=0
+    )
+    gate_w = jnp.pad(dec["gate"]["w"], ((0, E), (0, 0)))  # controls rows zero
+    w_out = jnp.zeros((H + D + E, 128), jnp.float32)
+    w_out = w_out.at[:, :M].set(mel_w).at[:, M : M + 1].set(gate_w)
+    b_out = jnp.zeros((1, 128), jnp.float32)
+    b_out = b_out.at[0, :M].set(dec["mel_out"]["b"]).at[0, M].set(dec["gate"]["b"][0])
+
+    cast = lambda x: x.astype(dtype)
+    return PackedDecoder(
+        w_att=cast(w_att), b_att=b_att.astype(jnp.float32),
+        w_dec=cast(w_dec), b_dec=b_dec.astype(jnp.float32),
+        wp1=cast(params["prenet"]["fc1"]["w"]),
+        wp2=cast(params["prenet"]["fc2"]["w"]),
+        wq=cast(att["query"]["w"]),
+        w_loc=w_loc_flat.astype(jnp.float32),
+        w_loc_dense=cast(att["location_dense"]["w"]),
+        wv=att["v"]["w"].astype(jnp.float32),
+        w_out=cast(w_out), b_out=b_out.astype(jnp.float32),
+    )
+
+
+def _decode_chunk_kernel(
+    # streamed weights
+    w_att, w_dec,
+    # resident weights
+    b_att, b_dec, wp1, wp2, wq, w_loc, w_loc_dense, wv, w_out, b_out,
+    # memory (resident); att weights / valid mask use TRANSPOSED (L, B8)
+    # layout so every attention op stays 2-D (Mosaic has no 2D->3D reshape)
+    encoded, att_enc, valid_t, controls,
+    # per-step dropout scale masks
+    dmask1, dmask2,
+    # state in (att_w / att_w_cum transposed (L, B8))
+    in_mel, in_att_h, in_att_c, in_ctx, in_att_w, in_att_w_cum, in_rnn_h, in_rnn_c,
+    # outputs (align transposed (T, L, B8))
+    out_mel_gate, out_align,
+    s_mel, s_att_h, s_att_c, s_ctx, s_att_w, s_att_w_cum, s_rnn_h, s_rnn_c,
+    # scratch
+    gates, xh_att, xh_dec, wpad_t, energ_t,
+    *, H: int, D: int, P: int, M: int, L: int, E: int, NC: int,
+):
+    t = pl.program_id(0)
+    p = pl.program_id(1)
+    c = pl.program_id(2)
+    B8 = in_mel.shape[0]
+    f32 = jnp.float32
+    dt = w_att.dtype  # matmul dtype (bf16)
+
+    @pl.when(jnp.logical_and(t == 0, jnp.logical_and(p == 0, c == 0)))
+    def _init():
+        s_mel[:] = in_mel[:]
+        s_att_h[:] = in_att_h[:]
+        s_att_c[:] = in_att_c[:]
+        s_ctx[:] = in_ctx[:]
+        s_att_w[:] = in_att_w[:]
+        s_att_w_cum[:] = in_att_w_cum[:]
+        s_rnn_h[:] = in_rnn_h[:]
+        s_rnn_c[:] = in_rnn_c[:]
+
+    # ---------------- phase 0: prenet + attention LSTM + attention --------
+    @pl.when(jnp.logical_and(p == 0, c == 0))
+    def _prenet():
+        x = s_mel[:].astype(dt)  # (B8, M)
+        h1 = jnp.maximum(jnp.dot(x, wp1[:], preferred_element_type=f32), 0.0)
+        h1 = h1 * dmask1[0]
+        h2 = jnp.maximum(jnp.dot(h1.astype(dt), wp2[:], preferred_element_type=f32), 0.0)
+        h2 = h2 * dmask2[0]
+        xh_att[:, :P] = h2
+        xh_att[:, P : P + D] = s_ctx[:]
+        xh_att[:, P + D :] = s_att_h[:]
+
+    @pl.when(p == 0)
+    def _att_gates():
+        g = jnp.dot(xh_att[:].astype(dt), w_att[:], preferred_element_type=f32)
+        gates[:, pl.ds(c * CW, CW)] = g + b_att[:, pl.ds(c * CW, CW)]
+
+    @pl.when(jnp.logical_and(p == 0, c == NC - 1))
+    def _attention():
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        gg = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+        c_new = f * s_att_c[:] + i * gg
+        h_new = o * jnp.tanh(c_new)
+        s_att_c[:] = c_new
+        s_att_h[:] = h_new
+
+        # padded previous/cumulative attention weights, time-major (rows = L)
+        wpad_t[:, :] = jnp.zeros(wpad_t.shape, f32)
+        wpad_t[pl.ds(15, L), :] = s_att_w[:]
+        wpad_t[pl.ds(L + 32 + 15, L), :] = s_att_w_cum[:]
+
+        q = jnp.dot(h_new.astype(dt), wq[:], preferred_element_type=f32)  # (B8, A)
+
+        # per batch row (B8 small, unrolled): 31-tap conv as (L,1)x(1,32)
+        # outer-product accumulation, then a (L,32)@(32,A) MXU matmul
+        for b in range(B8):
+            loc32 = jnp.zeros((L, 32), f32)
+            for k in range(31):
+                a0 = wpad_t[pl.ds(k, L), b : b + 1]  # (L, 1)
+                a1 = wpad_t[pl.ds(L + 32 + k, L), b : b + 1]
+                loc32 = loc32 + a0 * w_loc[2 * k : 2 * k + 1, :]
+                loc32 = loc32 + a1 * w_loc[2 * k + 1 : 2 * k + 2, :]
+            loc_a = jnp.dot(loc32.astype(dt), w_loc_dense[:], preferred_element_type=f32)
+            e_b = jnp.tanh(q[b : b + 1, :] + loc_a + att_enc[b].astype(f32))  # (L, A)
+            energ_t[:, b : b + 1] = jnp.dot(e_b, wv[:], preferred_element_type=f32)
+
+        e = jnp.where(valid_t[:] > 0, energ_t[:], -1e30)  # (L, B8)
+        m = jnp.max(e, axis=0, keepdims=True)
+        w = jnp.exp(e - m)
+        w = w / jnp.sum(w, axis=0, keepdims=True)  # (L, B8)
+
+        # context = w^T @ encoded per batch row, via dot_general (no transpose)
+        rows = []
+        for b in range(B8):
+            rows.append(
+                jax.lax.dot_general(
+                    w[:, b : b + 1], encoded[b].astype(f32),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )  # (1, D)
+            )
+        s_ctx[:] = jnp.concatenate(rows, axis=0)
+        s_att_w_cum[:] = s_att_w_cum[:] + w
+        s_att_w[:] = w
+        out_align[0] = w
+
+    # ---------------- phase 1: decoder LSTM + heads ------------------------
+    @pl.when(jnp.logical_and(p == 1, c == 0))
+    def _dec_in():
+        xh_dec[:, :H] = s_att_h[:]
+        xh_dec[:, H : H + D] = s_ctx[:]
+        xh_dec[:, H + D : H + D + E] = controls[:]
+        xh_dec[:, H + D + E :] = s_rnn_h[:]
+
+    @pl.when(p == 1)
+    def _dec_gates():
+        g = jnp.dot(xh_dec[:].astype(dt), w_dec[:], preferred_element_type=f32)
+        gates[:, pl.ds(c * CW, CW)] = g + b_dec[:, pl.ds(c * CW, CW)]
+
+    @pl.when(jnp.logical_and(p == 1, c == NC - 1))
+    def _heads():
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        gg = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+        c_new = f * s_rnn_c[:] + i * gg
+        h_new = o * jnp.tanh(c_new)
+        s_rnn_c[:] = c_new
+        s_rnn_h[:] = h_new
+
+        out = (
+            jnp.dot(h_new.astype(dt), w_out[:H], preferred_element_type=f32)
+            + jnp.dot(s_ctx[:].astype(dt), w_out[H : H + D], preferred_element_type=f32)
+            + jnp.dot(controls[:].astype(dt), w_out[H + D :], preferred_element_type=f32)
+            + b_out[:, :]
+        )
+        out_mel_gate[0] = out
+        s_mel[:] = out[:, :M]
+
+
+class FusedDecodeLoop:
+    """Chunked fused decode: builds the pallas_call and runs the outer
+    early-stop loop. Shapes are fixed at construction (one compile per
+    (batch, max_chars, dims) tuple, like any jit)."""
+
+    def __init__(self, num_mels: int, encoded_full_dim: int, att_rnn_dim: int,
+                 prenet_dim: int, att_dim: int, max_chars: int, batch: int = 1,
+                 controls_dim: int = 0, dropout: float = 0.5,
+                 interpret: bool = False):
+        self.M = num_mels
+        self.D = encoded_full_dim
+        self.H = att_rnn_dim
+        self.P = prenet_dim
+        self.A = att_dim
+        self.L = _round_up(max_chars, 128)
+        self.B = batch
+        self.B8 = _round_up(batch, 8)
+        self.E = _round_up(max(controls_dim, 1), 16)
+        self.controls_dim = controls_dim
+        self.dropout = dropout
+        self.interpret = interpret
+        self.NC = 4 * self.H // CW
+        assert 4 * self.H % CW == 0
+
+    # ------------------------------------------------------------------
+    def _chunk_call(self, packed: PackedDecoder, memory, dmasks, state):
+        H, D, P, M, L, E, NC, B8, A = (
+            self.H, self.D, self.P, self.M, self.L, self.E, self.NC, self.B8, self.A
+        )
+        f32 = jnp.float32
+        R1 = P + D + H
+        R2 = 2 * H + D + E
+
+        kernel = functools.partial(
+            _decode_chunk_kernel, H=H, D=D, P=P, M=M, L=L, E=E, NC=NC
+        )
+
+        def watt_map(t, p, c):
+            return (0, jax.lax.select(p == 0, c, NC - 1))
+
+        def wdec_map(t, p, c):
+            return (0, jax.lax.select(p == 1, c, NC - 1))
+
+        def resident(*shape):
+            return pl.BlockSpec(shape, lambda t, p, c: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+        def per_t(*shape):
+            return pl.BlockSpec(
+                shape, lambda t, p, c: (t,) + (0,) * (len(shape) - 1), memory_space=pltpu.VMEM
+            )
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(T_CHUNK, 2, NC),
+            scratch_shapes=[
+                pltpu.VMEM((B8, 4 * H), f32),  # gates
+                pltpu.VMEM((B8, R1), f32),  # xh_att
+                pltpu.VMEM((B8, R2), f32),  # xh_dec
+                pltpu.VMEM((2 * (L + 32), B8), f32),  # wpad_t
+                pltpu.VMEM((L, B8), f32),  # energ_t
+            ],
+            in_specs=[
+                pl.BlockSpec((R1, CW), watt_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((R2, CW), wdec_map, memory_space=pltpu.VMEM),
+                resident(1, 4 * H),  # b_att
+                resident(1, 4 * H),  # b_dec
+                resident(M, P),  # wp1
+                resident(P, P),  # wp2
+                resident(H, A),  # wq
+                resident(62, 32),  # w_loc
+                resident(32, A),  # w_loc_dense
+                resident(A, 1),  # wv
+                resident(H + D + E, 128),  # w_out
+                resident(1, 128),  # b_out
+                resident(B8, L, D),  # encoded
+                resident(B8, L, A),  # att_enc
+                resident(L, B8),  # valid mask (transposed)
+                resident(B8, E),  # controls
+                per_t(1, B8, P),  # dmask1
+                per_t(1, B8, P),  # dmask2
+                # state in (att_w / att_w_cum transposed)
+                resident(B8, M), resident(B8, H), resident(B8, H), resident(B8, D),
+                resident(L, B8), resident(L, B8), resident(B8, H), resident(B8, H),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, B8, 128), lambda t, p, c: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, L, B8), lambda t, p, c: (t, 0, 0), memory_space=pltpu.VMEM),
+                resident(B8, M), resident(B8, H), resident(B8, H), resident(B8, D),
+                resident(L, B8), resident(L, B8), resident(B8, H), resident(B8, H),
+            ],
+        )
+
+        out_shapes = [
+            jax.ShapeDtypeStruct((T_CHUNK, B8, 128), f32),
+            jax.ShapeDtypeStruct((T_CHUNK, L, B8), f32),
+            jax.ShapeDtypeStruct((B8, M), f32),
+            jax.ShapeDtypeStruct((B8, H), f32),
+            jax.ShapeDtypeStruct((B8, H), f32),
+            jax.ShapeDtypeStruct((B8, D), f32),
+            jax.ShapeDtypeStruct((L, B8), f32),
+            jax.ShapeDtypeStruct((L, B8), f32),
+            jax.ShapeDtypeStruct((B8, H), f32),
+            jax.ShapeDtypeStruct((B8, H), f32),
+        ]
+
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(110 * 1024 * 1024),
+            ),
+        )(
+            packed.w_att, packed.w_dec, packed.b_att, packed.b_dec,
+            packed.wp1, packed.wp2, packed.wq, packed.w_loc, packed.w_loc_dense,
+            packed.wv, packed.w_out, packed.b_out,
+            *memory, *dmasks, *state,
+        )
+
+    # ------------------------------------------------------------------
+    def _prenet_masks(self, rng, t0: jnp.ndarray, prenet_dropout: bool):
+        """AlwaysDropout scale masks, bit-matching Tacotron2._prenet's PRNG
+        (fold_in(rng, t) then two splits) on the REAL batch rows."""
+        B, B8, P = self.B, self.B8, self.P
+        if not prenet_dropout or self.dropout == 0.0:
+            ones = jnp.ones((T_CHUNK, B8, P), jnp.float32)
+            return ones, ones
+
+        def one_step(t):
+            key = jax.random.fold_in(rng, t)
+            key, k1 = jax.random.split(key)
+            key, k2 = jax.random.split(key)
+            scale = 1.0 / (1.0 - self.dropout)
+            m1 = jax.random.bernoulli(k1, 1.0 - self.dropout, (B, P)).astype(jnp.float32) * scale
+            m2 = jax.random.bernoulli(k2, 1.0 - self.dropout, (B, P)).astype(jnp.float32) * scale
+            pad = ((0, B8 - B), (0, 0))
+            return jnp.pad(m1, pad), jnp.pad(m2, pad)
+
+        m1, m2 = jax.vmap(one_step)(t0 + jnp.arange(T_CHUNK))
+        return m1, m2
+
+    def decode(self, packed: PackedDecoder, encoded, att_encoded, pad_mask,
+               max_len: int, rng=None, controls=None, prenet_dropout: bool = True):
+        """Full decode with early stop at chunk granularity.
+
+        encoded (B, Lc, D), att_encoded (B, Lc, A), pad_mask (B, Lc) True
+        where PADDED. Returns (mels (B, T', M) raw over executed frames,
+        gates (B, T'), aligns (B, T', Lc), lengths (B,), exec_steps) with
+        T' = max_len; postnet + final masking are the caller's job."""
+        B, Lc, _ = encoded.shape
+        B8, L, M, H, D = self.B8, self.L, self.M, self.H, self.D
+        f32 = jnp.float32
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+
+        def pad_to(x, axis, size):
+            pad = [(0, 0)] * x.ndim
+            pad[axis] = (0, size - x.shape[axis])
+            return jnp.pad(x, pad)
+
+        enc = pad_to(pad_to(encoded, 1, L), 0, B8).astype(packed.w_att.dtype)
+        att = pad_to(pad_to(att_encoded, 1, L), 0, B8).astype(f32)
+        valid = pad_to(pad_to((~pad_mask).astype(f32), 1, L), 0, B8)
+        # fully-padded batch rows get one valid slot to keep softmax finite
+        valid = valid.at[:, 0].set(jnp.maximum(valid[:, 0], 1e-6))
+        valid = valid.T  # kernel layout (L, B8)
+
+        if controls is not None and self.controls_dim:
+            ctrl = pad_to(pad_to(controls.astype(f32), 1, self.E), 0, B8)
+        else:
+            ctrl = jnp.zeros((B8, self.E), f32)
+        memory = (enc, att, valid, ctrl)
+
+        n_chunks = -(-max_len // T_CHUNK)
+        state = (
+            jnp.zeros((B8, M), f32), jnp.zeros((B8, H), f32), jnp.zeros((B8, H), f32),
+            jnp.zeros((B8, D), f32), jnp.zeros((L, B8), f32), jnp.zeros((L, B8), f32),
+            jnp.zeros((B8, H), f32), jnp.zeros((B8, H), f32),
+        )
+        mels_buf = jnp.zeros((n_chunks * T_CHUNK, B8, 128), f32)
+        align_buf = jnp.zeros((n_chunks * T_CHUNK, L, B8), f32)
+
+        def cond(carry):
+            k, done = carry[0], carry[1]
+            return jnp.logical_and(k < n_chunks, ~jnp.all(done))
+
+        def body(carry):
+            k, done, state, mels_buf, align_buf = carry
+            dmasks = self._prenet_masks(rng, k * T_CHUNK, prenet_dropout)
+            outs = self._chunk_call(packed, memory, dmasks, state)
+            mel_gate, align = outs[0], outs[1]
+            new_state = tuple(outs[2:])
+            mels_buf = jax.lax.dynamic_update_slice(mels_buf, mel_gate, (k * T_CHUNK, 0, 0))
+            align_buf = jax.lax.dynamic_update_slice(align_buf, align, (k * T_CHUNK, 0, 0))
+            gate_vals = mel_gate[:, : self.B, M]  # (T_CHUNK, B)
+            done = jnp.logical_or(done, jnp.any(gate_vals < 0.0, axis=0))
+            return (k + 1, done, new_state, mels_buf, align_buf)
+
+        init = (jnp.int32(0), jnp.zeros((self.B,), bool), state, mels_buf, align_buf)
+        k, done, state, mels_buf, align_buf = jax.lax.while_loop(cond, body, init)
+
+        mel_gate = jnp.swapaxes(mels_buf, 0, 1)[: self.B, :max_len]
+        mels = mel_gate[:, :, :M]
+        gates_raw = mel_gate[:, :, M]
+        # align buffer is (T, L, B8) -> (B, T, Lc)
+        aligns = jnp.transpose(align_buf, (2, 0, 1))[: self.B, :max_len, :Lc]
+
+        # reference stop bookkeeping (tacotron2.py:319-322): per executed
+        # step, done |= gate<0 and lengths += gate>=0; the loop breaks right
+        # after the step where ALL samples have fired. Our kernel may run up
+        # to T_CHUNK-1 steps past that point — exclude them exactly.
+        t_idx = jnp.arange(mels.shape[1])[None, :]
+        n_computed = jnp.minimum(k * T_CHUNK, max_len)
+        computed = t_idx < n_computed  # (1, T')
+        fired = jnp.logical_and(gates_raw < 0.0, computed)  # (B, T')
+        all_fired_by_t = jnp.all(jnp.cumsum(fired.astype(jnp.int32), axis=1) > 0, axis=0)
+        not_done_through_t = 1 - all_fired_by_t.astype(jnp.int32)
+        executed = jnp.concatenate(
+            [jnp.ones((1,), jnp.int32), jnp.cumprod(not_done_through_t)[:-1]], axis=0
+        )
+        executed = jnp.logical_and(executed > 0, computed[0])
+        lengths = jnp.sum(
+            jnp.logical_and(gates_raw >= 0.0, executed[None, :]), axis=1
+        ).astype(jnp.int32)
+        exec_steps = jnp.sum(executed.astype(jnp.int32))
+
+        # return RAW decoder outputs over the executed region (zeros beyond),
+        # exactly like the XLA while_loop's buffers — postnet and the final
+        # length masking happen in the model (reference masks AFTER postnet,
+        # tacotron2.py:331-345)
+        executed_f = executed.astype(f32)
+        mels = mels * executed_f[None, :, None]
+        aligns = aligns * executed_f[None, :, None]
+        gates = jnp.where(executed[None, :], gates_raw, -1000.0)
+        return mels, gates, aligns, lengths, exec_steps

@@ -1,0 +1,88 @@
+"""Fused Pallas decode-loop vs the XLA while_loop path (interpret mode on
+CPU). Covers plain decode, early stop, inference dropout bit-match (same
+PRNG derivation on both paths), and controls."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tacotron2_tpu.models.tacotron2 import Tacotron2, Tacotron2Config
+
+CFG = dict(
+    num_chars=20, encoded_dim=64, encoder_kernel_size=5, num_mels=16,
+    prenet_dim=32, att_rnn_dim=128, att_dim=32, rnn_hidden_dim=128,
+    postnet_dim=16, dropout=0.5,
+)
+
+
+def _setup(gate_bias, seed=0, **extensions):
+    model = Tacotron2(Tacotron2Config(**CFG, **extensions))
+    params, state = model.init(jax.random.PRNGKey(seed))
+    params["decoder"]["gate"]["b"] = jnp.full_like(params["decoder"]["gate"]["b"], gate_bias)
+    rng = np.random.default_rng(seed)
+    chars = rng.integers(1, 21, size=(2, 9)).astype(np.int64)
+    lens = np.array([9, 6], dtype=np.int64)
+    chars[1, 6:] = 0
+    return model, params, state, jnp.asarray(chars), jnp.asarray(lens)
+
+
+def _compare(model, params, state, chars, lens, max_len, rng, dropout, **kw):
+    ref = model.forward_infer(
+        params, state, chars, lens, max_len, rng=rng, prenet_dropout=dropout, **kw
+    )
+    fused = model.forward_infer_fused(
+        params, state, chars, lens, max_len, rng=rng, prenet_dropout=dropout,
+        interpret=True, **kw
+    )
+    assert int(fused.n_frames) == int(ref.n_frames)
+    np.testing.assert_array_equal(np.asarray(fused.lengths), np.asarray(ref.lengths))
+    n = int(ref.n_frames)
+    np.testing.assert_allclose(
+        np.asarray(fused.mels)[:, :n], np.asarray(ref.mels)[:, :n], atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.mels_post)[:, :n], np.asarray(ref.mels_post)[:, :n], atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.gates)[:, :n], np.asarray(ref.gates)[:, :n], atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.alignments)[:, :n], np.asarray(ref.alignments)[:, :n], atol=1e-4
+    )
+    return ref, fused
+
+
+def test_fused_matches_xla_no_dropout():
+    model, params, state, chars, lens = _setup(gate_bias=3.0)
+    _compare(model, params, state, chars, lens, 80, jax.random.PRNGKey(1), dropout=False)
+
+
+def test_fused_matches_xla_with_dropout():
+    # same PRNG derivation on both paths -> bit-comparable even with
+    # AlwaysDropout active
+    model, params, state, chars, lens = _setup(gate_bias=3.0)
+    _compare(model, params, state, chars, lens, 70, jax.random.PRNGKey(7), dropout=True)
+
+
+def test_fused_early_stop():
+    model, params, state, chars, lens = _setup(gate_bias=-3.0)
+    ref, fused = _compare(
+        model, params, state, chars, lens, 128, jax.random.PRNGKey(2), dropout=False
+    )
+    assert int(fused.n_frames) == 1  # gate fires immediately
+    # frames beyond the executed region stay masked
+    assert np.all(np.asarray(fused.mels)[:, 1:] == 0.0)
+    assert np.all(np.asarray(fused.gates)[:, 1:] == -1000.0)
+
+
+def test_fused_with_controls_and_speaker():
+    ext = dict(speaker_tokens=True, num_speakers=3, controls=True, controls_dim=5)
+    model, params, state, chars, lens = _setup(gate_bias=3.0, **ext)
+    rng = np.random.default_rng(3)
+    kw = dict(
+        speaker_id=jnp.asarray([0, 2]),
+        controls=jnp.asarray(rng.uniform(-1, 1, size=(2, 5)).astype(np.float32)),
+    )
+    _compare(model, params, state, chars, lens, 66, jax.random.PRNGKey(4), dropout=False, **kw)
