@@ -28,11 +28,27 @@ FRAMES_PER_SEC_AUDIO = 22050 / 256  # 86.13 (BASELINE.md audio frame math)
 TARGET_RTF = 0.05
 
 
+def _timed(comp, args, iters):
+    """Median wall time with an HONEST fence: on some transports (the axon
+    tunnel) block_until_ready returns before execution, so the jitted fn
+    returns scalars and we fetch them."""
+    ts = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        s, n = comp(*args, jax.random.PRNGKey(i))
+        float(s)  # device->host scalar fetch fences the computation
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "1"))  # say path is batch-1
     chars_len = int(os.environ.get("BENCH_CHARS", "128"))
-    max_len = int(os.environ.get("BENCH_FRAMES", "1000"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
+    # two workload sizes: the slope cancels fixed dispatch/transport latency
+    len_a = int(os.environ.get("BENCH_FRAMES_A", "512"))
+    len_b = int(os.environ.get("BENCH_FRAMES_B", "2048"))
 
     cfg = Tacotron2Config(
         num_chars=39, encoded_dim=512, encoder_kernel_size=5, num_mels=80,
@@ -48,26 +64,25 @@ def main():
     chars = jnp.asarray(rng.integers(1, 40, size=(batch, chars_len)).astype(np.int64))
     lens = jnp.full((batch,), chars_len, dtype=jnp.int64)
 
-    @jax.jit
-    def say(params, state, chars, lens, rng):
-        out = model.forward_infer(params, state, chars, lens, max_len, rng=rng)
-        return out.mels_post, out.n_frames
+    comps = {}
+    for ml in (len_a, len_b):
+        def say(params, state, chars, lens, rng, ml=ml):
+            out = model.forward_infer(params, state, chars, lens, ml, rng=rng)
+            return jnp.sum(out.mels_post), out.n_frames
+        comps[ml] = jax.jit(say).lower(
+            params, state, chars, lens, jax.random.PRNGKey(0)
+        ).compile()
+        s, n = comps[ml](params, state, chars, lens, jax.random.PRNGKey(0))
+        float(s)
+        assert int(n) == ml, f"decode stopped early at {int(n)}"
 
-    # warmup/compile
-    mels, n = say(params, state, chars, lens, jax.random.PRNGKey(0))
-    mels.block_until_ready()
-    assert int(n) == max_len, f"decode stopped early at {int(n)}"
+    args = (params, state, chars, lens)
+    t_a = _timed(comps[len_a], args, iters)
+    t_b = _timed(comps[len_b], args, iters)
+    sec_per_step = max((t_b - t_a) / (len_b - len_a), 1e-9)
 
-    times = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        mels, n = say(params, state, chars, lens, jax.random.PRNGKey(i))
-        mels.block_until_ready()
-        times.append(time.perf_counter() - t0)
-
-    best = min(times)
-    frames_per_sec = batch * max_len / best
-    rtf = (best / batch) / (max_len / FRAMES_PER_SEC_AUDIO)
+    frames_per_sec = batch / sec_per_step
+    rtf = sec_per_step * FRAMES_PER_SEC_AUDIO / batch
     target_fps = FRAMES_PER_SEC_AUDIO / TARGET_RTF
 
     print(
@@ -82,8 +97,8 @@ def main():
     )
     print(
         f"# say RTF {rtf:.4f} (target < {TARGET_RTF}), batch={batch}, "
-        f"frames={max_len}, best of {iters}: {best * 1e3:.1f} ms, "
-        f"device={jax.devices()[0].device_kind}",
+        f"{sec_per_step * 1e6:.1f} us/step (slope over {len_a}->{len_b} frames, "
+        f"median of {iters}), device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )
 

@@ -6,25 +6,32 @@ This is SURVEY §7 hard-part #5: the whole per-frame decoder step — prenet
 the mel/gate heads — runs inside a single kernel that decodes T_CHUNK
 frames per launch. Recurrent state lives in VMEM for the whole chunk; the
 two fat LSTM weight matrices (~18M params, the bandwidth bill) are streamed
-from HBM in column chunks by the Pallas grid pipeline, overlapping DMA with
-compute. An XLA while_loop around chunks keeps the reference's
-early-stop-on-gate semantics (model/tacotron2.py:319-322) at chunk
-granularity.
+from HBM by the Pallas grid pipeline, overlapping DMA with compute. An XLA
+while_loop around chunks keeps the reference's early-stop-on-gate semantics
+(model/tacotron2.py:319-322) at chunk granularity.
 
-Why: the step is weight-bandwidth bound (measured flat ~86 µs/step for
-batch 1-32 on v5e with the plain XLA while_loop; the bf16 streaming floor
-is ~45 µs). Fusing removes the ~10 per-step kernel dispatches and lets the
-weight DMAs run back-to-back.
+MEASURED OUTCOME (v5e, flagship dims, honest slope-based timing that
+cancels transport latency): this kernel runs ~62 µs/step vs ~33 µs/step for
+the plain XLA ``lax.while_loop`` path — XLA's loop wins because it keeps a
+large fraction of the weights VMEM-resident across iterations (its
+effective traffic is ~26 MB/step vs our full 42 MB/step re-stream). The
+kernel is kept as a correct, tested alternative path
+(``Tacotron2.forward_infer_fused``) and as the scaffold for a future
+int8-weight streaming variant (21 MB/step would beat XLA); the XLA path
+remains the default everywhere.
 
 Design notes:
-- grid = (T_CHUNK, 2 phases, NC column-chunks). Phase 0 accumulates the
-  attention-LSTM gates (runs prenet at its first chunk and attention at its
-  last); phase 1 accumulates the decoder-LSTM gates (runs the heads at its
-  last). Weight index maps hold the previous block during the phase that
-  doesn't use them, so each matrix is DMA'd exactly once per frame.
-- the location conv (31 taps, 2 chans -> 32 filters) and the 32->A dense
-  are both linear, so they are FOLDED into one (62, A) matrix at packing
-  time; the kernel computes loc features directly in A-space (lane-aligned).
+- both LSTM weight matrices are packed into ONE row-aligned stream
+  (attention-LSTM columns first, then decoder-LSTM columns) so the grid is
+  (T_CHUNK, NC) with a strictly monotonic block index map (0, s) — the
+  safest pipelining pattern — and the largest chunk width that still
+  double-buffers in VMEM. Per frame: s < NCA accumulates attention-LSTM
+  gates (prenet at s=0, attention at s=NCA-1); s >= NCA accumulates
+  decoder-LSTM gates (heads at the last step).
+- the location conv (31 taps, 2 chans -> 32 filters) runs as per-batch-row
+  (L,1)x(1,32) outer-product accumulation followed by a (L,32)@(32,A) MXU
+  matmul; everything in the kernel is strictly 2-D (Mosaic has no 2D->3D
+  reshape) with attention weights kept TRANSPOSED (L, B8).
 - prenet AlwaysDropout masks are precomputed with jax.random OUTSIDE the
   kernel (16 KB/step) so the fused path is bit-comparable with the XLA path
   under the same PRNG key.
@@ -41,7 +48,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 T_CHUNK = 64  # frames decoded per kernel launch
-CW = 512  # weight column chunk (4H=4096 -> NC=8)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -51,10 +57,8 @@ def _round_up(x: int, m: int) -> int:
 class PackedDecoder(NamedTuple):
     """Kernel-ready weights (bf16, concatenated + padded layouts)."""
 
-    w_att: jnp.ndarray  # (R1, 4H) rows = [prenet P | ctx D | att_h H]
-    b_att: jnp.ndarray  # (1, 4H)
-    w_dec: jnp.ndarray  # (R2, 4H) rows = [att_h H | ctx D | controls E | rnn_h H]
-    b_dec: jnp.ndarray  # (1, 4H)
+    w_stream: jnp.ndarray  # (R2, 8H): cols [0,4H) = att LSTM, [4H,8H) = dec LSTM
+    b_stream: jnp.ndarray  # (1, 8H)
     wp1: jnp.ndarray  # (M, P)
     wp2: jnp.ndarray  # (P, P)
     wq: jnp.ndarray  # (H, A)
@@ -74,11 +78,11 @@ def pack_decoder_params(params, num_mels: int, encoded_full_dim: int,
     E = _round_up(max(controls_dim, 1), 16)
     dec = params["decoder"]
 
-    # attention LSTM: input rows [prenet, ctx] + recurrent rows [att_h]
+    # attention LSTM rows: [prenet P | ctx D | att_h H] -> R1
     w_att = jnp.concatenate([dec["att_rnn"]["w_ih"], dec["att_rnn"]["w_hh"]], axis=0)
     b_att = (dec["att_rnn"]["b_ih"] + dec["att_rnn"]["b_hh"])[None, :]
 
-    # decoder LSTM: input rows [att_h, ctx, controls(padded)] + recurrent [rnn_h]
+    # decoder LSTM rows: [att_h H | ctx D | controls E | rnn_h H] -> R2
     w_ih = dec["lstm"]["w_ih"]  # (H + D + controls_dim, 4H)
     pad_e = E - controls_dim
     w_ih_padded = jnp.concatenate(
@@ -86,6 +90,14 @@ def pack_decoder_params(params, num_mels: int, encoded_full_dim: int,
     )
     w_dec = jnp.concatenate([w_ih_padded, dec["lstm"]["w_hh"]], axis=0)
     b_dec = (dec["lstm"]["b_ih"] + dec["lstm"]["b_hh"])[None, :]
+
+    R1, R2 = w_att.shape[0], w_dec.shape[0]
+    assert R2 >= R1
+    # one unified stream: att columns (rows zero-padded R1 -> R2), dec columns
+    w_stream = jnp.concatenate(
+        [jnp.pad(w_att, ((0, R2 - R1), (0, 0))), w_dec], axis=1
+    )  # (R2, 8H)
+    b_stream = jnp.concatenate([b_att, b_dec], axis=1)  # (1, 8H)
 
     att = dec["attention"]
     # location conv (31, 2, 32) flattened so row 2k = tap k over att_w and
@@ -105,8 +117,7 @@ def pack_decoder_params(params, num_mels: int, encoded_full_dim: int,
 
     cast = lambda x: x.astype(dtype)
     return PackedDecoder(
-        w_att=cast(w_att), b_att=b_att.astype(jnp.float32),
-        w_dec=cast(w_dec), b_dec=b_dec.astype(jnp.float32),
+        w_stream=cast(w_stream), b_stream=b_stream.astype(jnp.float32),
         wp1=cast(params["prenet"]["fc1"]["w"]),
         wp2=cast(params["prenet"]["fc2"]["w"]),
         wq=cast(att["query"]["w"]),
@@ -118,10 +129,10 @@ def pack_decoder_params(params, num_mels: int, encoded_full_dim: int,
 
 
 def _decode_chunk_kernel(
-    # streamed weights
-    w_att, w_dec,
+    # streamed unified weights
+    w_s,
     # resident weights
-    b_att, b_dec, wp1, wp2, wq, w_loc, w_loc_dense, wv, w_out, b_out,
+    b_stream, wp1, wp2, wq, w_loc, w_loc_dense, wv, w_out, b_out,
     # memory (resident); att weights / valid mask use TRANSPOSED (L, B8)
     # layout so every attention op stays 2-D (Mosaic has no 2D->3D reshape)
     encoded, att_enc, valid_t, controls,
@@ -133,17 +144,17 @@ def _decode_chunk_kernel(
     out_mel_gate, out_align,
     s_mel, s_att_h, s_att_c, s_ctx, s_att_w, s_att_w_cum, s_rnn_h, s_rnn_c,
     # scratch
-    gates, xh_att, xh_dec, wpad_t, energ_t,
-    *, H: int, D: int, P: int, M: int, L: int, E: int, NC: int,
+    gates, xh, wpad_t, energ_t,
+    *, H: int, D: int, P: int, M: int, L: int, E: int, R1: int,
+    NCA: int, NC: int, CW: int,
 ):
     t = pl.program_id(0)
-    p = pl.program_id(1)
-    c = pl.program_id(2)
+    s = pl.program_id(1)  # [0, NCA) = attention phase, [NCA, NC) = decoder phase
     B8 = in_mel.shape[0]
     f32 = jnp.float32
-    dt = w_att.dtype  # matmul dtype (bf16)
+    dt = w_s.dtype  # matmul dtype (bf16)
 
-    @pl.when(jnp.logical_and(t == 0, jnp.logical_and(p == 0, c == 0)))
+    @pl.when(jnp.logical_and(t == 0, s == 0))
     def _init():
         s_mel[:] = in_mel[:]
         s_att_h[:] = in_att_h[:]
@@ -155,23 +166,24 @@ def _decode_chunk_kernel(
         s_rnn_c[:] = in_rnn_c[:]
 
     # ---------------- phase 0: prenet + attention LSTM + attention --------
-    @pl.when(jnp.logical_and(p == 0, c == 0))
+    @pl.when(s == 0)
     def _prenet():
         x = s_mel[:].astype(dt)  # (B8, M)
         h1 = jnp.maximum(jnp.dot(x, wp1[:], preferred_element_type=f32), 0.0)
         h1 = h1 * dmask1[0]
         h2 = jnp.maximum(jnp.dot(h1.astype(dt), wp2[:], preferred_element_type=f32), 0.0)
         h2 = h2 * dmask2[0]
-        xh_att[:, :P] = h2
-        xh_att[:, P : P + D] = s_ctx[:]
-        xh_att[:, P + D :] = s_att_h[:]
+        xh[:, :P] = h2
+        xh[:, P : P + D] = s_ctx[:]
+        xh[:, P + D : R1] = s_att_h[:]
+        xh[:, R1:] = jnp.zeros((B8, xh.shape[1] - R1), f32)  # att stream row pad
 
-    @pl.when(p == 0)
-    def _att_gates():
-        g = jnp.dot(xh_att[:].astype(dt), w_att[:], preferred_element_type=f32)
-        gates[:, pl.ds(c * CW, CW)] = g + b_att[:, pl.ds(c * CW, CW)]
+    # gate accumulation (both phases stream the unified weight blocks)
+    local_c = jnp.where(s < NCA, s, s - NCA)
+    g = jnp.dot(xh[:].astype(dt), w_s[:], preferred_element_type=f32)
+    gates[:, pl.ds(local_c * CW, CW)] = g + b_stream[:, pl.ds(s * CW, CW)]
 
-    @pl.when(jnp.logical_and(p == 0, c == NC - 1))
+    @pl.when(s == NCA - 1)
     def _attention():
         i = jax.nn.sigmoid(gates[:, :H])
         f = jax.nn.sigmoid(gates[:, H : 2 * H])
@@ -222,20 +234,14 @@ def _decode_chunk_kernel(
         s_att_w[:] = w
         out_align[0] = w
 
-    # ---------------- phase 1: decoder LSTM + heads ------------------------
-    @pl.when(jnp.logical_and(p == 1, c == 0))
-    def _dec_in():
-        xh_dec[:, :H] = s_att_h[:]
-        xh_dec[:, H : H + D] = s_ctx[:]
-        xh_dec[:, H + D : H + D + E] = controls[:]
-        xh_dec[:, H + D + E :] = s_rnn_h[:]
+        # load the decoder-LSTM input layout for phase 1
+        xh[:, :H] = h_new
+        xh[:, H : H + D] = s_ctx[:]
+        xh[:, H + D : H + D + E] = controls[:]
+        xh[:, H + D + E :] = s_rnn_h[:]
 
-    @pl.when(p == 1)
-    def _dec_gates():
-        g = jnp.dot(xh_dec[:].astype(dt), w_dec[:], preferred_element_type=f32)
-        gates[:, pl.ds(c * CW, CW)] = g + b_dec[:, pl.ds(c * CW, CW)]
-
-    @pl.when(jnp.logical_and(p == 1, c == NC - 1))
+    # ---------------- phase 1 epilogue: decoder LSTM + heads ---------------
+    @pl.when(s == NC - 1)
     def _heads():
         i = jax.nn.sigmoid(gates[:, :H])
         f = jax.nn.sigmoid(gates[:, H : 2 * H])
@@ -264,7 +270,7 @@ class FusedDecodeLoop:
     def __init__(self, num_mels: int, encoded_full_dim: int, att_rnn_dim: int,
                  prenet_dim: int, att_dim: int, max_chars: int, batch: int = 1,
                  controls_dim: int = 0, dropout: float = 0.5,
-                 interpret: bool = False):
+                 interpret: bool = False, chunk_width: Optional[int] = None):
         self.M = num_mels
         self.D = encoded_full_dim
         self.H = att_rnn_dim
@@ -277,51 +283,50 @@ class FusedDecodeLoop:
         self.controls_dim = controls_dim
         self.dropout = dropout
         self.interpret = interpret
-        self.NC = 4 * self.H // CW
-        assert 4 * self.H % CW == 0
+        # chunk width: as wide as divides 4H, default 1024 (8 grid steps per
+        # frame on the flagship; each block double-buffers in VMEM)
+        self.CW = chunk_width or min(1024, 4 * self.H)
+        assert (4 * self.H) % self.CW == 0
+        self.NCA = 4 * self.H // self.CW
+        self.NC = 2 * self.NCA
 
     # ------------------------------------------------------------------
     def _chunk_call(self, packed: PackedDecoder, memory, dmasks, state):
-        H, D, P, M, L, E, NC, B8, A = (
-            self.H, self.D, self.P, self.M, self.L, self.E, self.NC, self.B8, self.A
+        H, D, P, M, L, E, B8, A = (
+            self.H, self.D, self.P, self.M, self.L, self.E, self.B8, self.A
         )
+        NCA, NC, CW = self.NCA, self.NC, self.CW
         f32 = jnp.float32
         R1 = P + D + H
         R2 = 2 * H + D + E
+        assert R2 >= R1, "kernel packs the att rows inside the dec row space"
 
         kernel = functools.partial(
-            _decode_chunk_kernel, H=H, D=D, P=P, M=M, L=L, E=E, NC=NC
+            _decode_chunk_kernel, H=H, D=D, P=P, M=M, L=L, E=E, R1=R1,
+            NCA=NCA, NC=NC, CW=CW,
         )
 
-        def watt_map(t, p, c):
-            return (0, jax.lax.select(p == 0, c, NC - 1))
-
-        def wdec_map(t, p, c):
-            return (0, jax.lax.select(p == 1, c, NC - 1))
-
         def resident(*shape):
-            return pl.BlockSpec(shape, lambda t, p, c: (0,) * len(shape), memory_space=pltpu.VMEM)
+            return pl.BlockSpec(shape, lambda t, s: (0,) * len(shape), memory_space=pltpu.VMEM)
 
         def per_t(*shape):
             return pl.BlockSpec(
-                shape, lambda t, p, c: (t,) + (0,) * (len(shape) - 1), memory_space=pltpu.VMEM
+                shape, lambda t, s: (t,) + (0,) * (len(shape) - 1), memory_space=pltpu.VMEM
             )
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
-            grid=(T_CHUNK, 2, NC),
+            grid=(T_CHUNK, NC),
             scratch_shapes=[
                 pltpu.VMEM((B8, 4 * H), f32),  # gates
-                pltpu.VMEM((B8, R1), f32),  # xh_att
-                pltpu.VMEM((B8, R2), f32),  # xh_dec
+                pltpu.VMEM((B8, R2), f32),  # xh (shared by both phases)
                 pltpu.VMEM((2 * (L + 32), B8), f32),  # wpad_t
                 pltpu.VMEM((L, B8), f32),  # energ_t
             ],
             in_specs=[
-                pl.BlockSpec((R1, CW), watt_map, memory_space=pltpu.VMEM),
-                pl.BlockSpec((R2, CW), wdec_map, memory_space=pltpu.VMEM),
-                resident(1, 4 * H),  # b_att
-                resident(1, 4 * H),  # b_dec
+                # strictly monotonic unified weight stream
+                pl.BlockSpec((R2, CW), lambda t, s: (0, s), memory_space=pltpu.VMEM),
+                resident(1, 8 * H),  # b_stream
                 resident(M, P),  # wp1
                 resident(P, P),  # wp2
                 resident(H, A),  # wq
@@ -341,8 +346,8 @@ class FusedDecodeLoop:
                 resident(L, B8), resident(L, B8), resident(B8, H), resident(B8, H),
             ],
             out_specs=[
-                pl.BlockSpec((1, B8, 128), lambda t, p, c: (t, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, L, B8), lambda t, p, c: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B8, 128), lambda t, s: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, L, B8), lambda t, s: (t, 0, 0), memory_space=pltpu.VMEM),
                 resident(B8, M), resident(B8, H), resident(B8, H), resident(B8, D),
                 resident(L, B8), resident(L, B8), resident(B8, H), resident(B8, H),
             ],
@@ -367,10 +372,10 @@ class FusedDecodeLoop:
             out_shape=out_shapes,
             interpret=self.interpret,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=int(110 * 1024 * 1024),
+                vmem_limit_bytes=int(100 * 1024 * 1024),
             ),
         )(
-            packed.w_att, packed.w_dec, packed.b_att, packed.b_dec,
+            packed.w_stream, packed.b_stream,
             packed.wp1, packed.wp2, packed.wq, packed.w_loc, packed.w_loc_dense,
             packed.wv, packed.w_out, packed.b_out,
             *memory, *dmasks, *state,
@@ -417,7 +422,7 @@ class FusedDecodeLoop:
             pad[axis] = (0, size - x.shape[axis])
             return jnp.pad(x, pad)
 
-        enc = pad_to(pad_to(encoded, 1, L), 0, B8).astype(packed.w_att.dtype)
+        enc = pad_to(pad_to(encoded, 1, L), 0, B8).astype(packed.w_stream.dtype)
         att = pad_to(pad_to(att_encoded, 1, L), 0, B8).astype(f32)
         valid = pad_to(pad_to((~pad_mask).astype(f32), 1, L), 0, B8)
         # fully-padded batch rows get one valid slot to keep softmax finite
