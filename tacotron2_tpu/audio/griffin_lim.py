@@ -86,6 +86,42 @@ def _griffin_lim_jitted(num_frames: int, n_fft: int, hop_length: int, n_iter: in
     return run
 
 
+def _griffin_lim_numpy(magnitude, n_fft, hop_length, n_iter, momentum, length, init_angles):
+    """Numpy fallback — some TPU transports lack complex-FFT support."""
+    from tacotron2_tpu.audio.mel import _frame_indices, hann_window_periodic
+
+    window = hann_window_periodic(n_fft)
+    pad = n_fft // 2
+    num_frames = magnitude.shape[0]
+    frames_idx = _frame_indices(num_frames, n_fft, hop_length)
+    ola_idx = (
+        np.arange(num_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
+    ).reshape(-1)
+    total = (num_frames - 1) * hop_length + n_fft
+    wsq = np.zeros(total)
+    np.add.at(wsq, ola_idx, np.tile(window**2, num_frames))
+    wsq = np.maximum(wsq, 1e-10)
+
+    def istft(spec):
+        frames = np.fft.irfft(spec, n=n_fft, axis=-1) * window[None, :]
+        y = np.zeros(total)
+        np.add.at(y, ola_idx, frames.reshape(-1))
+        return (y / wsq)[pad : pad + length]
+
+    def stft(y):
+        yp = np.pad(y, (pad, pad))
+        return np.fft.rfft(yp[frames_idx] * window[None, :], axis=-1)
+
+    angles = init_angles
+    tprev = np.zeros_like(angles)
+    for _ in range(n_iter):
+        rebuilt = stft(istft(magnitude * angles))
+        update = rebuilt - (momentum / (1.0 + momentum)) * tprev
+        angles = update / np.maximum(np.abs(update), 1e-16)
+        tprev = rebuilt
+    return istft(magnitude * angles).astype(np.float32)
+
+
 def griffin_lim(
     magnitude: np.ndarray,
     n_fft: int = 1024,
@@ -104,8 +140,13 @@ def griffin_lim(
     rng = np.random.default_rng(seed)
     init_phase = rng.uniform(-np.pi, np.pi, size=magnitude.shape).astype(np.float32)
     init_angles = np.exp(1j * init_phase).astype(np.complex64)
-    run = _griffin_lim_jitted(num_frames, n_fft, hop_length, n_iter, momentum, length)
-    return np.asarray(run(jnp.asarray(magnitude), jnp.asarray(init_angles)))
+    try:
+        run = _griffin_lim_jitted(num_frames, n_fft, hop_length, n_iter, momentum, length)
+        return np.asarray(run(jnp.asarray(magnitude), jnp.asarray(init_angles)))
+    except Exception:  # complex FFT unsupported on some device transports
+        return _griffin_lim_numpy(
+            magnitude, n_fft, hop_length, n_iter, momentum, length, init_angles
+        )
 
 
 @functools.lru_cache(maxsize=8)

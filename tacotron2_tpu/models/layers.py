@@ -99,6 +99,10 @@ def conv1d_apply(params, x, policy: Policy = F32, padding: str | int = "SAME", d
         pad = [((eff - 1) // 2, eff - 1 - (eff - 1) // 2)]
     else:
         pad = padding
+    # NOTE: no preferred_element_type here — conv_general_dilated's
+    # transpose (backward) rule requires uniform dtypes, so under a bf16
+    # policy the conv emits bf16 (f32 MXU accumulation internally) and we
+    # promote right after
     y = jax.lax.conv_general_dilated(
         policy.cast(x),
         policy.cast(params["w"]),
@@ -106,8 +110,7 @@ def conv1d_apply(params, x, policy: Policy = F32, padding: str | int = "SAME", d
         padding=pad,
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
-    )
+    ).astype(jnp.float32)
     if "b" in params:
         y = y + params["b"]
     return y
@@ -144,8 +147,7 @@ def conv_transpose1d_apply(params, x, stride: int, padding: int, policy: Policy 
         padding=[(k - 1 - padding, k - 1 - padding)],
         lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
-    )
+    ).astype(jnp.float32)
     return y + params["b"]
 
 
@@ -310,8 +312,7 @@ def conv2d_apply(params, x, stride=(1, 1), padding=(0, 0), policy: Policy = F32)
         window_strides=stride,
         padding=[(ph, ph), (pw, pw)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )
+    ).astype(jnp.float32)
     if "b" in params:
         y = y + params["b"]
     return y

@@ -139,11 +139,24 @@ def test_resume_training(tiny_project, tmp_path):
     assert saved["training"]["name"] == "tiny-e2e"
 
 
+def _load_our_cli():
+    """Import OUR main.py explicitly — parity tests put /root/reference on
+    sys.path, whose main.py would shadow ours under plain `import main`."""
+    import importlib.util
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location("tts_cli_main", os.path.join(repo_root, "main.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def test_cli_surface():
     """All reference subcommands exist with the reference flags."""
     from click.testing import CliRunner
 
-    import main as cli
+    cli = _load_our_cli()
 
     r = CliRunner().invoke(cli.main, ["--help"], obj={})
     assert r.exit_code == 0
@@ -159,7 +172,7 @@ def test_cli_surface():
 def test_cli_say_requires_config():
     from click.testing import CliRunner
 
-    import main as cli
+    cli = _load_our_cli()
 
     r = CliRunner().invoke(
         cli.main, ["say", "--checkpoint", "x", "--text", "hi"], obj={}

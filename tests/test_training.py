@@ -121,6 +121,27 @@ def test_overfit_tiny_batch():
     assert int(ts.step) == 60
 
 
+def test_bf16_train_step_backward():
+    """bf16-mixed policy must support the FULL backward (conv transpose
+    rules need uniform dtypes — regression for the AMP path)."""
+    from tacotron2_tpu.models.layers import Policy
+
+    cfg = Tacotron2Config(
+        num_chars=12, encoded_dim=32, encoder_kernel_size=5, num_mels=16,
+        prenet_dim=16, att_rnn_dim=32, att_dim=16, rnn_hidden_dim=32,
+        postnet_dim=16, dropout=0.1,
+    )
+    model = Tacotron2(cfg, Policy.from_string("bf16-mixed"))
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx, _ = make_optimizer(1e-3, 1e-6, scheduler_milestones=[])
+    ts = TrainState.create(params, state, tx)
+    train_step = make_train_step(model, tx, donate=False)
+    ts2, metrics = train_step(ts, _tiny_batch(), jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # params stay f32 (the policy casts at matmul time only)
+    assert ts2.params["decoder"]["gate"]["w"].dtype == jnp.float32
+
+
 def test_eval_step_runs():
     cfg = Tacotron2Config(
         num_chars=12, encoded_dim=32, encoder_kernel_size=5, num_mels=16,
