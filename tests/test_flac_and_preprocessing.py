@@ -93,6 +93,30 @@ def test_extract_features_pitch_accuracy():
     assert feats["nhr_vcd"] <= feats["nhr"] + 1e-6  # voiced frames more harmonic
 
 
+def test_native_extractor_matches_numpy():
+    """The C++ backend (native/prosody.cpp) must match the numpy reference
+    implementation on every feature."""
+    from tacotron2_tpu.audio.prosody import (
+        FEATURE_NAMES,
+        _extract_features_numpy,
+        extract_features_native,
+    )
+
+    for seed, f0 in ((0, 120.0), (1, 200.0), (2, 330.0)):
+        wav = _speechlike(f0=f0, dur=0.8, seed=seed)
+        a = _extract_features_numpy(wav, 22050)
+        b = extract_features_native(wav, 22050)
+        assert a is not None and b is not None
+        for k in FEATURE_NAMES:
+            assert abs(a[k] - b[k]) <= 0.02 * max(abs(a[k]), 1e-3), (k, a[k], b[k])
+
+
+def test_native_extractor_degenerate():
+    from tacotron2_tpu.audio.prosody import extract_features_native
+
+    assert extract_features_native(np.zeros(22050, np.float32), 22050) is None
+
+
 def test_extract_features_degenerate_returns_none():
     from tacotron2_tpu.audio.prosody import extract_features
 
