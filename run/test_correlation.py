@@ -62,10 +62,14 @@ def do_test_correlation(
         )
     # 200 per speaker, seed 9001 (run/test_correlation.py:84-91)
     if "speaker_id" in test_df.columns:
-        test_df = (
-            test_df.groupby("speaker_id", group_keys=False)
-            .apply(lambda g: g.sample(min(len(g), utterances_per_speaker), random_state=9001))
-            .reset_index(drop=True)
+        import pandas as pd
+
+        test_df = pd.concat(
+            [
+                g.sample(min(len(g), utterances_per_speaker), random_state=9001)
+                for _, g in test_df.groupby("speaker_id")
+            ],
+            ignore_index=True,
         )
     else:
         test_df = test_df.sample(
