@@ -31,16 +31,25 @@ MAX_LEN = 5000  # frames cap (run/say.py:147)
 
 def bert_description_embedding(description: Optional[str], dim: int) -> np.ndarray:
     """BERT pooler_output of the style description (run/say.py:92-106);
-    zeros when absent."""
+    zeros when absent. The encode runs in OUR JAX BERT (models/bert.py) on
+    device; HF supplies tokenization + the (locally cached) weights."""
     if description is None:
         return np.zeros((1, dim), np.float32)
     from transformers import AutoTokenizer, BertModel
 
+    from tacotron2_tpu.models.bert import Bert, convert_bert_state_dict
+
     tokenizer = AutoTokenizer.from_pretrained("google-bert/bert-base-uncased")
-    model = BertModel.from_pretrained("google-bert/bert-base-uncased")
-    tok = tokenizer(description, return_tensors="pt")
-    out = model(**tok).pooler_output.detach().numpy().astype(np.float32)
-    return out
+    torch_model = BertModel.from_pretrained("google-bert/bert-base-uncased")
+    params, bert_cfg = convert_bert_state_dict(torch_model.state_dict())
+    tok = tokenizer(description, return_tensors="np")
+    _, pooled = jax.jit(Bert(bert_cfg).apply)(
+        params,
+        jnp.asarray(tok["input_ids"]),
+        jnp.asarray(tok["attention_mask"]),
+        jnp.asarray(tok["token_type_ids"]),
+    )
+    return np.asarray(pooled, dtype=np.float32)
 
 
 def do_say(
@@ -65,6 +74,9 @@ def do_say(
     norm = normalize_text(text, prep.allowed_chars, prep.end_token, False)
     encoder = CharEncoder(prep.allowed_chars, prep.end_token)
     chars_idx, chars_len = encoder.encode_batch([norm])
+    # pad chars to a bucket so XLA compiles once per bucket, not per text
+    bucket = -(-chars_idx.shape[1] // 32) * 32
+    chars_idx = np.pad(chars_idx, ((0, 0), (0, bucket - chars_idx.shape[1])))
 
     hifigan, hifi_params = load_hifigan(hifi_gan_checkpoint)
 
