@@ -192,11 +192,18 @@ def do_train(
     model_state = place_replicated(model_state, mesh)
     ts = TrainState.create(params, model_state, tx)
 
-    if resume_ckpt is not None and ckpt_lib.has_train_state(resume_ckpt):
-        opt_state, step0 = ckpt_lib.load_train(resume_ckpt, ts.opt_state)
-        opt_state = place_replicated(opt_state, mesh)
-        ts = TrainState(params=ts.params, model_state=ts.model_state,
-                        opt_state=opt_state, step=np.asarray(step0, np.int32))
+    if resume_ckpt is not None and ckpt_lib.has_train_state(resume_ckpt) and not finetune:
+        # plain resume restores optimizer + step (run/train.py:245-250);
+        # finetune starts a FRESH optimizer (lr/10, new schedule, freeze
+        # masks change the optimizer-state structure)
+        try:
+            opt_state, step0 = ckpt_lib.load_train(resume_ckpt, ts.opt_state)
+            opt_state = place_replicated(opt_state, mesh)
+            ts = TrainState(params=ts.params, model_state=ts.model_state,
+                            opt_state=opt_state, step=np.asarray(step0, np.int32))
+        except ValueError as e:
+            print(f"warning: optimizer state in {resume_ckpt} does not match "
+                  f"the current optimizer; starting fresh ({e})")
 
     train_step = make_sharded_train_step(model, tx, mesh)
     eval_step = make_eval_step(model)
