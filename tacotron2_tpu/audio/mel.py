@@ -172,12 +172,36 @@ class TacotronMelSpectrogram:
     def num_frames(self, num_samples: int) -> int:
         return 1 + num_samples // self.hop_length
 
-    def __call__(self, wav: np.ndarray) -> np.ndarray:
+    def _numpy_compute(self, padded: np.ndarray, num_frames: int) -> np.ndarray:
+        """Host-side numpy path, numerically identical math to the XLA path
+        (cross-backend parity-tested)."""
+        idx = _frame_indices(num_frames, self.n_fft, self.hop_length)
+        frames = padded[idx] * self.window[None, :]
+        spec = np.abs(np.fft.rfft(frames, axis=-1)).astype(np.float32)
+        if self.power != 1.0:
+            spec = spec**self.power
+        mel = spec @ self.fbanks
+        return np.log(np.clip(mel, self.CLAMP_MIN, None)).astype(np.float32)
+
+    def __call__(self, wav: np.ndarray, backend: str = "numpy") -> np.ndarray:
+        """wav -> (frames, n_mels) float32 log-mel.
+
+        ``backend="numpy"`` (default) runs host-side — the input pipeline
+        must not contend with the accelerator the train step runs on
+        (SURVEY §2.8: host-side input pipeline feeding device buffers).
+        ``backend="jax"`` uses the bucketed jitted kernel (the in-graph
+        math; also what tests cross-check against).
+        """
         wav = np.asarray(wav, dtype=np.float32).reshape(-1)
         num_frames = self.num_frames(len(wav))
         # center=True reflect pad (host side — uses true samples only)
         pad = self.n_fft // 2
         padded = np.pad(wav, (pad, pad), mode="reflect")
+        if backend == "numpy":
+            need = (num_frames - 1) * self.hop_length + self.n_fft
+            if len(padded) < need:
+                padded = np.pad(padded, (0, need - len(padded)))
+            return self._numpy_compute(padded, num_frames)
         # bucket the frame count so jit compiles once per bucket
         bucket = -(-num_frames // self.BUCKET_FRAMES) * self.BUCKET_FRAMES
         need = (bucket - 1) * self.hop_length + self.n_fft

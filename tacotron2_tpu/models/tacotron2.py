@@ -198,9 +198,15 @@ class Tacotron2:
         controls=None,
         description_embeddings=None,
         prenet_dropout: bool = True,
+        remat: bool = False,
     ) -> Tuple[Tacotron2Output, dict]:
         """Teacher-forced forward: ONE lax.scan over the decode step
-        (replaces the reference's Python loop, model/tacotron2.py:276-317)."""
+        (replaces the reference's Python loop, model/tacotron2.py:276-317).
+
+        ``remat=True`` rematerializes the decode step in the backward pass
+        (jax.checkpoint) — per-step activations aren't stored, enabling
+        much larger batch x frames products (the decode is weight-bandwidth
+        bound, so the recompute is nearly free)."""
         cfg = self.cfg
         self._check_controls(controls)
         B, T, M = mel_spectrogram.shape
@@ -229,6 +235,8 @@ class Tacotron2:
             )
             return new_state, (mel, gate[:, 0], new_state.att_weights)
 
+        if remat:
+            scan_step = jax.checkpoint(scan_step)
         _, (mels, gates, aligns) = jax.lax.scan(scan_step, dec_state, (decoder_in, step_keys))
         mels = jnp.swapaxes(mels, 0, 1)  # (B, T, M)
         gates = jnp.swapaxes(gates, 0, 1)[..., None]  # (B, T, 1)

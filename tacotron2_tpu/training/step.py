@@ -24,13 +24,16 @@ from tacotron2_tpu.models.tacotron2 import Tacotron2
 from tacotron2_tpu.training.losses import tacotron2_loss
 
 
-def build_train_step(model: Tacotron2, tx):
+def build_train_step(model: Tacotron2, tx, remat: bool = True):
     """Pure (un-jitted) train step: (train_state, batch, rng) ->
     (train_state, metrics). Shared by the single-chip and mesh-sharded paths.
 
     ``batch``: dict with chars_idx (B,L), chars_len (B,), mel (B,T,M),
     mel_len (B,), gate (B,T,1), and optional speaker_id / controls /
-    description_embeddings.
+    description_embeddings. ``remat`` (default on) rematerializes the
+    decode scan in the backward pass — the decode is weight-bandwidth
+    bound, so recompute is nearly free and batch x frames scales far
+    beyond what stored activations allow.
     """
 
     def loss_fn(params, model_state, batch, rng):
@@ -46,6 +49,7 @@ def build_train_step(model: Tacotron2, tx):
             speaker_id=batch.get("speaker_id"),
             controls=batch.get("controls"),
             description_embeddings=batch.get("description_embeddings"),
+            remat=remat,
         )
         loss, metrics = tacotron2_loss(
             out.mels, out.mels_post, out.gates, batch["mel"], batch["gate"]

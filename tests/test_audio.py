@@ -178,6 +178,17 @@ def test_mel_matches_reference_composition():
     np.testing.assert_allclose(ours, ref, atol=2e-2)
 
 
+def test_mel_numpy_jax_backend_parity():
+    """The host-side numpy path and the XLA path must agree — the input
+    pipeline uses numpy, the in-graph ops use jax."""
+    mel = TacotronMelSpectrogram()
+    wav = _tone(freq=740.0, dur=0.4)
+    a = mel(wav, backend="numpy")
+    b = mel(wav, backend="jax")
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=5e-3)  # fp32 FFT noise near clamp
+
+
 def test_mel_bucketing_consistency():
     # different lengths in the same bucket must give identical leading frames
     mel = TacotronMelSpectrogram()
