@@ -67,7 +67,8 @@ class ModelRegistry:
 
 
 def _synthesize(bundle, text: str, seed: Optional[int], speaker_id: Optional[int],
-                controls: Optional[List[float]], out_path: str) -> str:
+                controls: Optional[List[float]], out_path: str,
+                use_vocoder: bool = True) -> str:
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -94,6 +95,8 @@ def _synthesize(bundle, text: str, seed: Optional[int], speaker_id: Optional[int
     )
     n = int(out.n_frames)
     mel = np.asarray(out.mels_post)[0, : max(n - 1, 1)]
+    if not use_vocoder:  # UI toggle: force the Griffin-Lim path
+        hifigan, hifi_params = None, None
     wav = vocode(mel, hifigan, hifi_params, prep.sample_rate)
     write_wav(out_path, np.asarray(wav), prep.sample_rate)
     return out_path
@@ -145,9 +148,11 @@ def make_app(server_config: Dict[str, Any], mode: str = "warm") -> web.Applicati
             await proc.communicate()
         else:
             bundle = registry.load(model_idx)
+            use_vocoder = bool(data.get("use_vocoder", True))
             loop = asyncio.get_event_loop()
             await loop.run_in_executor(
-                None, _synthesize, bundle, text, seed, speaker_id, controls, out_path
+                None, _synthesize, bundle, text, seed, speaker_id, controls,
+                out_path, use_vocoder,
             )
         return web.json_response({"path": out_path})
 

@@ -112,6 +112,36 @@ def test_tp_param_shardings_divisibility():
     assert sh["decoder"]["gate"]["b"].spec == jax.sharding.PartitionSpec()
 
 
+def test_dp_inference_matches_single_device():
+    """Free-running decode with a DP-sharded batch: the while_loop's global
+    all(done) condition and BN reads must compile to collectives and match
+    single-device results (DP serving path)."""
+    import jax.numpy as jnp
+
+    model = Tacotron2(CFG)
+    params, state = model.init(jax.random.PRNGKey(2))
+    params["decoder"]["gate"]["b"] = jnp.full_like(params["decoder"]["gate"]["b"], 3.0)
+    rng = np.random.default_rng(4)
+    chars = jnp.asarray(rng.integers(1, 12, size=(8, 8)))
+    lens = jnp.full((8,), 8, dtype=jnp.int64)
+
+    def infer(p, s, c, l, r):
+        out = model.forward_infer(p, s, c, l, 24, rng=r, prenet_dropout=False)
+        return out.mels_post, out.lengths
+
+    single = jax.jit(infer)(params, state, chars, lens, jax.random.PRNGKey(0))
+
+    mesh = make_mesh()
+    p2 = place_params(params, mesh)
+    s2 = place_replicated(state, mesh)
+    c2 = jax.device_put(chars, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")))
+    l2 = jax.device_put(lens, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")))
+    sharded = jax.jit(infer)(p2, s2, c2, l2, jax.random.PRNGKey(0))
+
+    np.testing.assert_array_equal(np.asarray(single[1]), np.asarray(sharded[1]))
+    np.testing.assert_allclose(np.asarray(single[0]), np.asarray(sharded[0]), atol=1e-5)
+
+
 def test_tp_dp_train_step_runs_and_matches():
     """2-way TP x 4-way DP step matches single-device numerics."""
     model = Tacotron2(CFG)
