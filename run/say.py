@@ -74,9 +74,10 @@ def do_say(
     norm = normalize_text(text, prep.allowed_chars, prep.end_token, False)
     encoder = CharEncoder(prep.allowed_chars, prep.end_token)
     chars_idx, chars_len = encoder.encode_batch([norm])
-    # pad chars to a bucket so XLA compiles once per bucket, not per text
-    bucket = -(-chars_idx.shape[1] // 32) * 32
-    chars_idx = np.pad(chars_idx, ((0, 0), (0, bucket - chars_idx.shape[1])))
+    # NOTE: chars are NOT padded to a bucket here — the encoder's convs are
+    # unmasked (like the reference's), so padding would perturb activations
+    # within kernel reach of the sequence end and break exact reference
+    # parity. One compile per text length is acceptable for a CLI.
 
     hifigan, hifi_params = load_hifigan(hifi_gan_checkpoint)
 

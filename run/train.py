@@ -73,6 +73,11 @@ def do_train(
     log_every: int = 50,
     max_steps_override: Optional[int] = None,
 ) -> str:
+    # multi-host: same code path over DCN once the coordinator is configured
+    # (SURVEY §2.8/§5.8 — jax.distributed + the identical SPMD step)
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
     if results_dir is None:
         results_dir = f"results_{cfg.training.name} {datetime.datetime.now()}"
     os.makedirs(results_dir, exist_ok=True)
@@ -248,7 +253,9 @@ def do_train(
     t_last, frames_done = time.time(), 0
     print(f"train: {len(train_dataset)} utts, {steps_per_epoch} steps/epoch, "
           f"max_steps {max_steps}, batch {batch_size}, mesh {dict(mesh.shape)}")
-    while step < max_steps:
+    stop_threshold = cfg.training.stopping_val_loss_threshold
+    stopped = False
+    while step < max_steps and not stopped:
         for batch in train_loader:
             if step >= max_steps:
                 break
@@ -271,7 +278,15 @@ def do_train(
             if step % 1000 == 0:  # histograms (model/tts_model.py:289-292)
                 logger.histograms(ts.params, step)
             if step % val_every == 0:
-                run_validation(step)
+                val_loss = run_validation(step)
+                # stopping_val_loss_threshold: config key present in every
+                # reference config (always null there; EarlyStopping was
+                # imported but never wired, run/train.py:19) — live here
+                if (stop_threshold is not None and val_loss is not None
+                        and val_loss <= stop_threshold):
+                    print(f"early stop: val_loss {val_loss:.4f} <= {stop_threshold}")
+                    stopped = True
+                    break
             if step % 5000 == 0:
                 ckpt_lib.save_checkpoint(
                     path.join(results_dir, "last.ckpt"), ts.params, ts.model_state,

@@ -180,6 +180,112 @@ def test_split_ljspeech(tmp_path):
         assert train[col].abs().max() <= 1.0 + 1e-9
 
 
+def _hifi_feature_df(n_per_speaker, speakers=(92, 6097, 9017), seed=0):
+    import pandas as pd
+
+    from tacotron2_tpu.audio.prosody import FEATURE_NAMES
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for s_idx, spk in enumerate(speakers):
+        for i in range(n_per_speaker):
+            row = {f: rng.normal(loc=j, scale=1.0) for j, f in enumerate(FEATURE_NAMES)}
+            row.update(
+                text=f"utt {spk} {i}", wav=f"audio_22050/{spk}/{i}.wav",
+                speaker_id=s_idx, speaker_id_dataset=spk,
+            )
+            rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def test_split_hifi_size_fixup_and_norms(tmp_path):
+    import csv
+
+    import pandas as pd
+
+    from preprocessing.splits import (
+        FEATURES_ALL_DATASET_GENDER_NORM_CLIP,
+        FEATURES_ALL_DATASET_NORM_CLIP,
+        FEATURES_ALL_SPEAKER_NORM_CLIP,
+        split_hifi,
+    )
+
+    train = _hifi_feature_df(30)
+    val = _hifi_feature_df(2, seed=1)  # too small: must borrow from train
+    test = _hifi_feature_df(3, seed=2)
+    paths = {}
+    for name, df in (("train", train), ("val", val), ("test", test)):
+        p = str(tmp_path / f"{name}.csv")
+        df.to_csv(p, sep="|", index=None, quoting=csv.QUOTE_NONE)
+        paths[name] = p
+    outs = {n: str(tmp_path / f"o_{n}.csv") for n in ("train", "val", "test")}
+    split_hifi(paths["train"], paths["val"], paths["test"],
+               outs["train"], outs["val"], outs["test"],
+               speaker_val_size=5, speaker_test_size=8, random_state=9001)
+
+    otrain = pd.read_csv(outs["train"], delimiter="|", quoting=csv.QUOTE_NONE)
+    oval = pd.read_csv(outs["val"], delimiter="|", quoting=csv.QUOTE_NONE)
+    otest = pd.read_csv(outs["test"], delimiter="|", quoting=csv.QUOTE_NONE)
+    # per-speaker sizes fixed up by borrowing from train (hifi.py:180-203)
+    assert all(oval.groupby("speaker_id").size() == 5)
+    assert all(otest.groupby("speaker_id").size() == 8)
+    # conservation: borrowed rows leave train
+    assert len(otrain) == 90 - 3 * (5 - 2) - 3 * (8 - 3)
+    # gender annotation (hifi.py:18) + all three norm families present
+    assert set(otrain.gender.unique()) == {"f", "m"}
+    for col_set in (FEATURES_ALL_SPEAKER_NORM_CLIP, FEATURES_ALL_DATASET_NORM_CLIP,
+                    FEATURES_ALL_DATASET_GENDER_NORM_CLIP):
+        for c in col_set:
+            assert c in otrain.columns
+            assert otrain[c].abs().max() <= 1.0 + 1e-9
+
+
+def test_split_lj_hifi_merge(tmp_path):
+    import csv
+
+    import pandas as pd
+
+    from preprocessing.splits import split_hifi, split_lj_hifi
+    from tacotron2_tpu.audio.prosody import FEATURE_NAMES
+
+    # hifi CSVs (already through split_hifi to get gender column)
+    train = _hifi_feature_df(20)
+    val = _hifi_feature_df(6, seed=1)
+    test = _hifi_feature_df(6, seed=2)
+    hp = {}
+    for name, df in (("train", train), ("val", val), ("test", test)):
+        p = str(tmp_path / f"h_{name}.csv")
+        df.to_csv(p, sep="|", index=None, quoting=csv.QUOTE_NONE)
+        hp[name] = p
+    ho = {n: str(tmp_path / f"ho_{n}.csv") for n in ("train", "val", "test")}
+    split_hifi(hp["train"], hp["val"], hp["test"], ho["train"], ho["val"], ho["test"],
+               speaker_val_size=6, speaker_test_size=6, random_state=9001)
+
+    # LJ CSVs (single speaker, fewer val/test rows than each hifi speaker)
+    rng = np.random.default_rng(5)
+    def lj_df(n, seed):
+        r = np.random.default_rng(seed)
+        return pd.DataFrame(
+            [dict({f: r.normal() for f in FEATURE_NAMES},
+                  text=f"lj {i}", wav=f"wavs/{i}.wav") for i in range(n)]
+        )
+    lp = {}
+    for name, n in (("train", 25), ("val", 4), ("test", 4)):
+        p = str(tmp_path / f"l_{name}.csv")
+        lj_df(n, hash(name) % 100).to_csv(p, sep="|", index=None, quoting=csv.QUOTE_NONE)
+        lp[name] = p
+
+    outs = {n: str(tmp_path / f"m_{n}.csv") for n in ("train", "val", "test")}
+    split_lj_hifi(ho["train"], ho["val"], ho["test"], lp["train"], lp["val"], lp["test"],
+                  outs["train"], outs["val"], outs["test"])
+    m = pd.read_csv(outs["train"], delimiter="|", quoting=csv.QUOTE_NONE)
+    # LJ gets gender f and the next speaker id (lj-hifi.py:91-98)
+    lj_rows = m[m.wav.str.startswith("LJSpeech-1.1")]
+    assert (lj_rows.gender == "f").all()
+    assert lj_rows.speaker_id.unique().tolist() == [3]
+    assert m.wav.str.startswith(("hi_fi_tts_v0", "LJSpeech-1.1")).all()
+
+
 def test_ljspeech_preprocess_end_to_end(tmp_path):
     import pandas as pd
 
