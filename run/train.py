@@ -27,7 +27,7 @@ import numpy as np
 
 import jax
 
-from run.common import build_model, model_config_from, read_manifest
+from run.common import build_model, read_manifest
 from tacotron2_tpu.config import Config
 from tacotron2_tpu.data import TTSDataLoader, TTSDataset
 from tacotron2_tpu.parallel import (
@@ -36,13 +36,12 @@ from tacotron2_tpu.parallel import (
     place_replicated,
     shard_batch,
 )
+from tacotron2_tpu.parallel import make_sharded_train_step
 from tacotron2_tpu.training import checkpoint as ckpt_lib
 from tacotron2_tpu.training.logging import TrainLogger
 from tacotron2_tpu.training.optimizer import make_optimizer
 from tacotron2_tpu.training.step import make_eval_step
 from tacotron2_tpu.training.train_state import TrainState
-from tacotron2_tpu.parallel import make_sharded_train_step
-from tacotron2_tpu.training.optimizer import multistep_lr_schedule
 
 
 def _dataset_kwargs(prep) -> dict:

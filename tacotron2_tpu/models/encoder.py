@@ -66,7 +66,7 @@ def apply(
             rng, sub = jax.random.split(rng)
             x = layers.dropout(sub, x, dropout_rate)
 
-    half = x.shape[-1]  # bi-directional halves concatenated back to D
+    # bidirectional halves (each D/2) concatenated back to D
     fwd = layers.lstm_sequence(params["lstm_fwd"], x, chars_len, reverse=False, policy=policy)
     bwd = layers.lstm_sequence(params["lstm_bwd"], x, chars_len, reverse=True, policy=policy)
     encoded = jnp.concatenate([fwd, bwd], axis=-1)

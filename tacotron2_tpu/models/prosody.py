@@ -16,8 +16,6 @@ of training (run/train.py:188-208, commented out there; live here via
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
