@@ -65,6 +65,7 @@ def do_say(
     export_mel: bool = False,
     description: Optional[str] = None,
     max_len_override: int = MAX_LEN,
+    quantize_int8: bool = False,
 ) -> str:
     prep = cfg.dataset.preprocessing
     if random_seed is None:
@@ -96,10 +97,18 @@ def do_say(
     params, model_state, _ = load_tacotron_checkpoint(checkpoint)
     model = build_model(cfg)
 
-    out = jax.jit(
-        lambda p, s, c, l, r: model.forward_infer(p, s, c, l, max_len_override, rng=r, **kwargs)
-    )(params, model_state, jnp.asarray(chars_idx), jnp.asarray(chars_len),
-      jax.random.PRNGKey(random_seed))
+    if quantize_int8:
+        # opt-in fast mode: fused Pallas decode with int8 weight streaming
+        # (~0.3% mel divergence; 31 vs 34 us/frame on v5e — PERF.md)
+        fwd = lambda p, s, c, l, r: model.forward_infer_fused(
+            p, s, c, l, max_len_override, rng=r, quantize=True, **kwargs
+        )
+    else:
+        fwd = lambda p, s, c, l, r: model.forward_infer(
+            p, s, c, l, max_len_override, rng=r, **kwargs
+        )
+    out = jax.jit(fwd)(params, model_state, jnp.asarray(chars_idx),
+                       jnp.asarray(chars_len), jax.random.PRNGKey(random_seed))
 
     n = int(out.n_frames)
     # drop the final (gate-fired) frame like the reference (run/say.py:153-161)

@@ -77,6 +77,14 @@ def do_train(
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
 
+    # torch.set_float32_matmul_precision analog (run/train.py:170):
+    # controls how f32 matmuls lower on the MXU
+    matmul_precision = {
+        "highest": "float32", "high": "bfloat16_3x", "medium": "bfloat16",
+    }.get(cfg.training.float32_matmul_precision)
+    if matmul_precision:
+        jax.config.update("jax_default_matmul_precision", matmul_precision)
+
     if results_dir is None:
         results_dir = f"results_{cfg.training.name} {datetime.datetime.now()}"
     os.makedirs(results_dir, exist_ok=True)

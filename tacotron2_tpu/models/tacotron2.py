@@ -352,11 +352,15 @@ class Tacotron2:
         description_embeddings=None,
         prenet_dropout: bool = True,
         interpret: bool = False,
+        quantize: bool = False,
     ) -> Tacotron2Output:
         """Free-running decode through the fused Pallas kernel
         (tacotron2_tpu.ops.decoder_loop_pallas) — the TPU fast path. Same
         semantics as ``forward_infer``; requires att_rnn_dim ==
-        rnn_hidden_dim (true for every shipped config)."""
+        rnn_hidden_dim (true for every shipped config). ``quantize=True``
+        streams int8 weights (half the HBM bill) with per-row int8
+        activations — an approximate fast mode (~0.7% rel. mel divergence),
+        NOT the parity path."""
         from tacotron2_tpu.ops.decoder_loop_pallas import (
             FusedDecodeLoop,
             pack_decoder_params,
@@ -373,13 +377,19 @@ class Tacotron2:
             params, cfg.num_mels, cfg.encoded_full_dim, cfg.att_rnn_dim,
             cfg.rnn_hidden_dim, cfg.prenet_dim, cfg.controls_dim,
             dtype=self.policy.compute_dtype if self.policy.compute_dtype == jnp.bfloat16 else jnp.float32,
+            quantize=quantize,
         )
+        # int8 halves the streamed block size, so the chunk width doubles
+        # (fewer grid steps per frame, same VMEM double-buffer budget)
+        cw = min(2048 if quantize else 1024, 4 * cfg.att_rnn_dim)
+        while (4 * cfg.att_rnn_dim) % cw:
+            cw //= 2
         loop = FusedDecodeLoop(
             num_mels=cfg.num_mels, encoded_full_dim=cfg.encoded_full_dim,
             att_rnn_dim=cfg.att_rnn_dim, prenet_dim=cfg.prenet_dim,
             att_dim=cfg.att_dim, max_chars=L, batch=B,
             controls_dim=cfg.controls_dim, dropout=cfg.dropout,
-            interpret=interpret,
+            interpret=interpret, chunk_width=cw,
         )
         mels, gates, aligns, lengths, exec_steps = loop.decode(
             packed, encoded, att_encoded, mask, max_len,

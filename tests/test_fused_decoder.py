@@ -77,6 +77,26 @@ def test_fused_early_stop():
     assert np.all(np.asarray(fused.gates)[:, 1:] == -1000.0)
 
 
+def test_fused_int8_close_to_f32():
+    """The int8-quantized fast mode: same step count, small bounded
+    divergence from the f32 XLA path (weight per-column + activation
+    per-row int8; NOT the parity path)."""
+    model, params, state, chars, lens = _setup(gate_bias=3.0)
+    ref = model.forward_infer(
+        params, state, chars, lens, 70, rng=jax.random.PRNGKey(5), prenet_dropout=False
+    )
+    q = model.forward_infer_fused(
+        params, state, chars, lens, 70, rng=jax.random.PRNGKey(5),
+        prenet_dropout=False, interpret=True, quantize=True,
+    )
+    assert int(q.n_frames) == int(ref.n_frames)
+    n = int(ref.n_frames)
+    a = np.asarray(ref.mels_post)[:, :n]
+    b = np.asarray(q.mels_post)[:, :n]
+    rel = np.abs(a - b).mean() / max(np.abs(a).mean(), 1e-9)
+    assert rel < 0.05, f"int8 divergence too large: {rel:.3%}"
+
+
 def test_fused_with_controls_and_speaker():
     ext = dict(speaker_tokens=True, num_speakers=3, controls=True, controls_dim=5)
     model, params, state, chars, lens = _setup(gate_bias=3.0, **ext)
