@@ -11,14 +11,14 @@ while_loop around chunks keeps the reference's early-stop-on-gate semantics
 (model/tacotron2.py:319-322) at chunk granularity.
 
 MEASURED OUTCOME (v5e, flagship dims, honest slope-based timing that
-cancels transport latency): this kernel runs ~62 µs/step vs ~33 µs/step for
-the plain XLA ``lax.while_loop`` path — XLA's loop wins because it keeps a
-large fraction of the weights VMEM-resident across iterations (its
-effective traffic is ~26 MB/step vs our full 42 MB/step re-stream). The
-kernel is kept as a correct, tested alternative path
-(``Tacotron2.forward_infer_fused``) and as the scaffold for a future
-int8-weight streaming variant (21 MB/step would beat XLA); the XLA path
-remains the default everywhere.
+cancels transport latency): bf16 streaming runs ~57 µs/step vs ~33.6 µs for
+the plain XLA ``lax.while_loop`` path — XLA's loop keeps part of the
+weights VMEM-resident, so full re-streaming loses at bf16. The INT8 mode
+(``quantize=True``: per-column weight scales, per-row activation int8,
+native MXU int8xint8 with dequant folded into the chunk-scale multiply,
+CW=2048) halves the bandwidth bill and runs **31.3 µs/step — ~7% faster
+than XLA — at 0.28% relative mel divergence**. The exact-parity default
+stays the XLA path; ``say --quantize-int8`` selects this kernel.
 
 Design notes:
 - both LSTM weight matrices are packed into ONE row-aligned stream
