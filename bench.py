@@ -64,10 +64,17 @@ def main():
     chars = jnp.asarray(rng.integers(1, 40, size=(batch, chars_len)).astype(np.int64))
     lens = jnp.full((batch,), chars_len, dtype=jnp.int64)
 
+    use_int8 = os.environ.get("BENCH_INT8") == "1"  # fused int8 fast mode
+
     comps = {}
     for ml in (len_a, len_b):
         def say(params, state, chars, lens, rng, ml=ml):
-            out = model.forward_infer(params, state, chars, lens, ml, rng=rng)
+            if use_int8:
+                out = model.forward_infer_fused(
+                    params, state, chars, lens, ml, rng=rng, quantize=True
+                )
+            else:
+                out = model.forward_infer(params, state, chars, lens, ml, rng=rng)
             return jnp.sum(out.mels_post), out.n_frames
         comps[ml] = jax.jit(say).lower(
             params, state, chars, lens, jax.random.PRNGKey(0)
