@@ -80,7 +80,7 @@ def do_train(
     # torch.set_float32_matmul_precision analog (run/train.py:170):
     # controls how f32 matmuls lower on the MXU
     matmul_precision = {
-        "highest": "float32", "high": "bfloat16_3x", "medium": "bfloat16",
+        "highest": "highest", "high": "high", "medium": "bfloat16",
     }.get(cfg.training.float32_matmul_precision)
     if matmul_precision:
         jax.config.update("jax_default_matmul_precision", matmul_precision)
