@@ -141,14 +141,29 @@ class TTSDataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_factor)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # bounded put that aborts if the consumer abandoned the iterator
+            # (a plain blocking put would leak the producer thread)
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    items = list(pool.map(self.dataset.__getitem__, b))
-                    out_q.put(collate(items, self.bucket_chars, self.bucket_frames))
-            out_q.put(None)
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__, b))
+                        if not _put(collate(items, self.bucket_chars, self.bucket_frames)):
+                            return
+                _put(None)
+            except Exception as e:  # surface worker errors to the consumer
+                _put(e)
 
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()
@@ -157,6 +172,8 @@ class TTSDataLoader:
                 batch = out_q.get()
                 if batch is None:
                     return
+                if isinstance(batch, Exception):
+                    raise batch
                 yield batch
         finally:
             stop.set()

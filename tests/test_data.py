@@ -126,6 +126,30 @@ def test_loader_epoch(corpus):
     assert len(list(dl2)) == 2
 
 
+def test_loader_propagates_worker_errors(corpus):
+    ds = _dataset(corpus)
+    orig = ds.__class__.__getitem__
+
+    class Boom(Exception):
+        pass
+
+    def bad(self, i):
+        raise Boom("worker failure")
+
+    ds.__getitem__ = bad.__get__(ds)
+    dl = TTSDataLoader(ds, batch_size=2, num_workers=2)
+    with pytest.raises(Exception):
+        list(dl)
+
+
+def test_loader_abandoned_iterator_does_not_hang(corpus):
+    ds = _dataset(corpus)
+    dl = TTSDataLoader(ds, batch_size=1, drop_last=False, prefetch_factor=1)
+    it = iter(dl)
+    next(it)
+    it.close()  # abandon mid-epoch; producer must exit, not deadlock
+
+
 def test_loader_shuffle_changes_order(corpus):
     ds = _dataset(corpus)
     dl = TTSDataLoader(ds, batch_size=3, shuffle=True, drop_last=False, seed=1)
