@@ -169,6 +169,31 @@ def test_cli_surface():
         assert flag in r.output
 
 
+def test_cli_preprocess_ljspeech(tmp_path):
+    """main.py preprocess --dataset ljspeech end-to-end through click."""
+    from click.testing import CliRunner
+
+    from tacotron2_tpu.audio.io import write_wav
+
+    speech = tmp_path / "LJ"
+    (speech / "wavs").mkdir(parents=True)
+    t = np.arange(int(22050 * 0.6)) / 22050
+    wav = (0.3 * np.sin(2 * np.pi * 160 * t) * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t) ** 2)).astype(np.float32)
+    write_wav(str(speech / "wavs" / "LJ001.wav"), wav, 22050)
+    with open(speech / "metadata.csv", "w") as f:
+        f.write("LJ001|Some text|some text normalized\n")
+
+    cli = _load_our_cli()
+    r = CliRunner().invoke(
+        cli.main,
+        ["preprocess", "--dataset", "ljspeech", "--speech-dir", str(speech),
+         "--out-dir", str(tmp_path), "--out-postfix", "t", "--n-jobs", "1"],
+        obj={},
+    )
+    assert r.exit_code == 0, r.output
+    assert (tmp_path / "ljspeech-t.csv").exists()
+
+
 def test_cli_say_requires_config():
     from click.testing import CliRunner
 
