@@ -140,13 +140,20 @@ def griffin_lim(
     rng = np.random.default_rng(seed)
     init_phase = rng.uniform(-np.pi, np.pi, size=magnitude.shape).astype(np.float32)
     init_angles = np.exp(1j * init_phase).astype(np.complex64)
-    try:
-        run = _griffin_lim_jitted(num_frames, n_fft, hop_length, n_iter, momentum, length)
-        return np.asarray(run(jnp.asarray(magnitude), jnp.asarray(init_angles)))
-    except Exception:  # complex FFT unsupported on some device transports
-        return _griffin_lim_numpy(
-            magnitude, n_fft, hop_length, n_iter, momentum, length, init_angles
-        )
+    # Only run the in-graph loop on CPU backends: some TPU transports lack
+    # complex FFT, and a FAILED device program can wedge the device for
+    # subsequent (unrelated) programs — don't even attempt it there.
+    import jax
+
+    if jax.default_backend() == "cpu":
+        try:
+            run = _griffin_lim_jitted(num_frames, n_fft, hop_length, n_iter, momentum, length)
+            return np.asarray(run(jnp.asarray(magnitude), jnp.asarray(init_angles)))
+        except Exception:
+            pass
+    return _griffin_lim_numpy(
+        magnitude, n_fft, hop_length, n_iter, momentum, length, init_angles
+    )
 
 
 @functools.lru_cache(maxsize=8)

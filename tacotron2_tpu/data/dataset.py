@@ -67,9 +67,19 @@ class TTSDataset:
         description_embeddings_dim: int = 768,
         description_embeddings_augment: bool = False,
         sample_rate: int = 22050,
+        verbose: bool = False,
     ):
         if cache and cache_dir is None:
             raise ValueError("If caching spectrograms, a cache directory is required")
+        if verbose:  # config echo (reference: datasets/tts_dataset.py:92-134)
+            print(f"Dataset: {'Caching Mel spectrograms at ' + str(cache_dir) if cache else 'Not caching Mel spectrograms'}")
+            print(f"Dataset: {'Using end token ' + end_token if end_token else 'Not using an end token'}")
+            if trim:
+                print(f"Dataset: Trimming silence with top db {trim_top_db} and frame length {trim_frame_length}")
+            else:
+                print("Dataset: Not trimming silence from input audio files")
+            print(f"Dataset: Adding {silence} frames of silence to the end of each clip")
+            print(f"Dataset: Allowed characters {allowed_chars}")
         if cache and not path.exists(cache_dir):
             os.makedirs(cache_dir, exist_ok=True)
         self.cache = cache

@@ -76,9 +76,18 @@ class Tacotron2Output(NamedTuple):
 
 
 class Tacotron2:
-    def __init__(self, config: Tacotron2Config, policy: Policy = F32):
+    def __init__(self, config: Tacotron2Config, policy: Policy = F32, verbose: bool = False):
         self.cfg = config
         self.policy = policy
+        if verbose:  # config echo (reference: model/tacotron2.py:48-59)
+            if config.controls:
+                print(f"Tacotron2: Controls enabled with a size of {config.controls_dim}")
+            else:
+                print("Tacotron2: Controls disabled")
+            if config.speaker_tokens:
+                print(f"Tacotron2: Speaker tokens enabled with {config.num_speakers} speakers")
+            else:
+                print("Tacotron2: Speaker tokens disabled")
 
     # ------------------------------------------------------------------
     def init(self, key) -> Tuple[dict, dict]:
