@@ -97,6 +97,54 @@ def test_multispeaker_controls_train_say_finetune(speaker_project, tmp_path):
     assert not np.allclose(p0["decoder"]["gate"]["w"], p1["decoder"]["gate"]["w"])
 
 
+def test_descriptions_train_e2e(tmp_path):
+    """Description-embedding training path (run/train.py:85-107): per-row
+    .npy embedding files (NaN -> zeros fallback), model concat conditioning."""
+    speech = tmp_path / "speech"
+    speech.mkdir()
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(4):
+        wav = (0.3 * np.sin(2 * np.pi * (200 + 30 * i) * np.arange(7000) / 22050)).astype(np.float32)
+        write_wav(str(speech / f"d{i}.wav"), wav, 22050)
+        if i < 2:
+            np.save(speech / f"emb{i}.npy", rng.standard_normal(16).astype(np.float32))
+            emb = f"emb{i}.npy"
+        else:
+            emb = ""  # missing -> zeros (tts_dataset.py:289-291)
+        rows.append(f"described utterance {i}|d{i}.wav|{emb}")
+    header = "text|wav|description_embedding"
+    for split, sel in (("train", rows), ("val", rows[:2])):
+        with open(tmp_path / f"{split}.csv", "w") as f:
+            f.write(header + "\n" + "\n".join(sel) + "\n")
+
+    raw_cfg = {
+        "dataset": {"train": str(tmp_path / "train.csv"), "val": str(tmp_path / "val.csv"),
+                     "preprocessing": {"allowed_chars": LJ_CHARS, "end_token": "^",
+                                        "num_mels": 16, "trim": False, "cache": False}},
+        "training": {"lr": 1e-3, "batch_size": 2, "weight_decay": 0.0,
+                     "precision": "32-true", "name": "desc-e2e",
+                     "args": {"max_steps": 2}},
+        "model": {"scheduler_milestones": [],
+                  "args": {"prenet_dim": 8, "att_rnn_dim": 16, "att_dim": 8,
+                           "rnn_hidden_dim": 16, "postnet_dim": 8, "dropout": 0.1,
+                           "encoded_dim": 16, "encoder_kernel_size": 5,
+                           "description_embeddings": True,
+                           "description_embeddings_dim": 16}},
+        "extensions": {"speaker_tokens": {"active": False}, "controls": {"active": False},
+                        "descriptions": {"bert_embeddings": True, "finetuneable": False}},
+    }
+    cfg = config_from_dict(raw_cfg)
+    from run.train import do_train
+
+    ckpt = do_train(cfg, raw_cfg, 0, str(speech), str(tmp_path / "r"), None, log_every=10)
+    assert ckpt.endswith("final.ckpt")
+    from tacotron2_tpu.training.checkpoint import load_model
+
+    p, _, _ = load_model(ckpt)
+    assert "description_linear" in p  # the concat-conditioning path trained
+
+
 def test_say_from_lightning_ckpt_file(tmp_path):
     """A reference-format Lightning .ckpt FILE must load and synthesize
     (converted on the fly — run/common.load_tacotron_checkpoint)."""
