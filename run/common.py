@@ -45,6 +45,8 @@ def model_config_from(cfg: Config) -> Tacotron2Config:
         controls_dim=cfg.controls_dim,
         description_embeddings=cfg.model.description_embeddings,
         description_embeddings_dim=cfg.model.description_embeddings_dim,
+        gst=ext.gst.active,
+        gst_token_embedding_size=ext.gst.token_embedding_size,
     )
 
 

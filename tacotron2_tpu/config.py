@@ -122,6 +122,15 @@ class DescriptionsConfig:
 
 
 @dataclass
+class GstConfig:
+    """Global-style-token conditioning (dormant in the reference,
+    model/gst.py — live optional block here)."""
+
+    active: bool = False
+    token_embedding_size: int = 256
+
+
+@dataclass
 class ProsodyModelConfig:
     """Dormant in the reference (run/train.py:188-208 commented out) but part
     of the config surface (config/controllable-*-prosody-model.json)."""
@@ -137,6 +146,7 @@ class ExtensionsConfig:
     controls: ControlsConfig = field(default_factory=ControlsConfig)
     descriptions: DescriptionsConfig = field(default_factory=DescriptionsConfig)
     prosody_model: ProsodyModelConfig = field(default_factory=ProsodyModelConfig)
+    gst: GstConfig = field(default_factory=GstConfig)
 
 
 @dataclass
@@ -249,6 +259,7 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
         prosody_model=_build(
             ProsodyModelConfig, ex_raw.pop("prosody_model", {}), "extensions.prosody_model"
         ),
+        gst=_build(GstConfig, ex_raw.pop("gst", {}), "extensions.gst"),
     )
     if ex_raw:
         raise ValueError(f"Unknown config keys in extensions: {sorted(ex_raw)}")

@@ -59,11 +59,21 @@ class Tacotron2Config:
     controls_dim: int = 0
     description_embeddings: bool = False
     description_embeddings_dim: int = 0
+    # GST style conditioning — dormant in the reference (model/gst.py is
+    # never instantiated); wired here as an optional block per SURVEY §7
+    # step 7. The style embedding is broadcast-concatenated onto the
+    # encoder memory like the description path.
+    gst: bool = False
+    gst_token_embedding_size: int = 256
 
     @property
     def encoded_full_dim(self) -> int:
         # description path widens the memory by 128 (model/tacotron2.py:99-105)
-        return self.encoded_dim + (128 if self.description_embeddings else 0)
+        return (
+            self.encoded_dim
+            + (128 if self.description_embeddings else 0)
+            + (self.gst_token_embedding_size if self.gst else 0)
+        )
 
 
 class Tacotron2Output(NamedTuple):
@@ -130,6 +140,15 @@ class Tacotron2:
                 keys[6], cfg.description_embeddings_dim, 128, bias=True
             )
         state = {"encoder": enc_state, "postnet": post_state}
+        if cfg.gst:
+            from tacotron2_tpu.models.gst import GST
+
+            gst = GST(
+                n_mel_channels=cfg.num_mels,
+                token_embedding_size=cfg.gst_token_embedding_size,
+                policy=self.policy,
+            )
+            params["gst"], state["gst"] = gst.init(keys[7])
         return params, state
 
     # ------------------------------------------------------------------
@@ -159,6 +178,7 @@ class Tacotron2:
         rng,
         speaker_id=None,
         description_embeddings=None,
+        style=None,  # (B, gst_token_embedding_size) when cfg.gst
     ):
         """Encoder + conditioning fusion + attention-memory precompute
         (reference: model/tacotron2.py:199-229)."""
@@ -187,10 +207,31 @@ class Tacotron2:
             encoded = jnp.concatenate(
                 [encoded, jnp.broadcast_to(desc[:, None, :], (desc.shape[0], L, 128))], axis=-1
             )
+        if cfg.gst:
+            if style is None:
+                raise ValueError("style embedding required when GST is active!")
+            L = chars_idx.shape[1]
+            encoded = jnp.concatenate(
+                [encoded, jnp.broadcast_to(style[:, None, :], (style.shape[0], L, style.shape[-1]))],
+                axis=-1,
+            )
 
         att_encoded = layers.linear_apply(params["att_encoder"], encoded, self.policy)
         mask = jnp.arange(chars_idx.shape[1])[None, :] >= chars_len[:, None]
         return encoded, att_encoded, mask, enc_state
+
+    # ------------------------------------------------------------------
+    def _style(self, params, state, ref_mels, train: bool):
+        """GST style embedding from a reference mel (B, T, M) -> (B, S)."""
+        from tacotron2_tpu.models.gst import GST
+
+        gst = GST(
+            n_mel_channels=self.cfg.num_mels,
+            token_embedding_size=self.cfg.gst_token_embedding_size,
+            policy=self.policy,
+        )
+        style, gst_state = gst.apply(params["gst"], state["gst"], ref_mels, train=train)
+        return style[:, 0, :], gst_state
 
     # ------------------------------------------------------------------
     def forward_teacher(
@@ -208,6 +249,7 @@ class Tacotron2:
         description_embeddings=None,
         prenet_dropout: bool = True,
         remat: bool = False,
+        gst_reference_mel=None,  # defaults to the GT mel when GST is active
     ) -> Tuple[Tacotron2Output, dict]:
         """Teacher-forced forward: ONE lax.scan over the decode step
         (replaces the reference's Python loop, model/tacotron2.py:276-317).
@@ -221,9 +263,13 @@ class Tacotron2:
         B, T, M = mel_spectrogram.shape
 
         rng, enc_rng, pre_rng, scan_rng, post_rng = jax.random.split(rng, 5)
+        style, gst_state = None, None
+        if cfg.gst:
+            ref = gst_reference_mel if gst_reference_mel is not None else mel_spectrogram
+            style, gst_state = self._style(params, state, ref, train)
         encoded, att_encoded, mask, enc_state = self._encode(
             params, state, chars_idx, chars_len, train, enc_rng,
-            speaker_id, description_embeddings,
+            speaker_id, description_embeddings, style=style,
         )
 
         # prenet over the whole shifted GT mel at once (tacotron2.py:254-260)
@@ -257,7 +303,10 @@ class Tacotron2:
         mels_post = mels + post
 
         out = self._mask_outputs(mels, mels_post, gates, aligns, mel_spectrogram_len)
-        return out, {"encoder": enc_state, "postnet": post_state}
+        new_state = {"encoder": enc_state, "postnet": post_state}
+        if cfg.gst:
+            new_state["gst"] = gst_state
+        return out, new_state
 
     # ------------------------------------------------------------------
     def forward_infer(
@@ -272,6 +321,7 @@ class Tacotron2:
         controls=None,
         description_embeddings=None,
         prenet_dropout: bool = True,
+        gst_reference_mel=None,  # GST: neutral (zeros-reference) style if None
     ) -> Tacotron2Output:
         """Free-running decode as ONE lax.while_loop with early stop when all
         gates fire (reference: model/tacotron2.py:262-325). Static-shaped
@@ -281,9 +331,10 @@ class Tacotron2:
         B, L = chars_idx.shape
 
         rng, enc_rng, pre_rng = jax.random.split(rng, 3)
+        style = self._infer_style(params, state, B, gst_reference_mel)
         encoded, att_encoded, mask, _ = self._encode(
             params, state, chars_idx, chars_len, False, enc_rng,
-            speaker_id, description_embeddings,
+            speaker_id, description_embeddings, style=style,
         )
 
         dec_state = decoder_mod.init_state(
@@ -348,6 +399,17 @@ class Tacotron2:
         return out._replace(n_frames=t)
 
     # ------------------------------------------------------------------
+    def _infer_style(self, params, state, batch: int, gst_reference_mel):
+        """Inference-time GST style: from the given reference mel, or a
+        neutral zeros-reference when none is provided."""
+        if not self.cfg.gst:
+            return None
+        if gst_reference_mel is None:
+            gst_reference_mel = jnp.zeros((batch, 32, self.cfg.num_mels), jnp.float32)
+        style, _ = self._style(params, state, gst_reference_mel, train=False)
+        return style
+
+    # ------------------------------------------------------------------
     def forward_infer_fused(
         self,
         params,
@@ -362,6 +424,7 @@ class Tacotron2:
         prenet_dropout: bool = True,
         interpret: bool = False,
         quantize: bool = False,
+        gst_reference_mel=None,
     ) -> Tacotron2Output:
         """Free-running decode through the fused Pallas kernel
         (tacotron2_tpu.ops.decoder_loop_pallas) — the TPU fast path. Same
@@ -378,9 +441,10 @@ class Tacotron2:
         cfg = self.cfg
         B, L = chars_idx.shape
         rng, enc_rng, pre_rng = jax.random.split(rng, 3)
+        style = self._infer_style(params, state, B, gst_reference_mel)
         encoded, att_encoded, mask, _ = self._encode(
             params, state, chars_idx, chars_len, False, enc_rng,
-            speaker_id, description_embeddings,
+            speaker_id, description_embeddings, style=style,
         )
         packed = pack_decoder_params(
             params, cfg.num_mels, cfg.encoded_full_dim, cfg.att_rnn_dim,
