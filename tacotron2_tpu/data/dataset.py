@@ -24,7 +24,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from tacotron2_tpu.audio.io import read_wav
+from tacotron2_tpu.audio.io import load_audio
 from tacotron2_tpu.audio.mel import TacotronMelSpectrogram
 from tacotron2_tpu.audio.trim import trim_silence
 from tacotron2_tpu.config import ALLOWED_CHARS
@@ -122,7 +122,8 @@ class TTSDataset:
             if path.exists(cache_path):
                 return np.load(cache_path)
 
-        wav, _ = read_wav(path.join(self.base_dir, filename))
+        # format-dispatching load (WAV numpy codec / FLAC native decoder)
+        wav, _ = load_audio(path.join(self.base_dir, filename))
         if self.trim:
             wav, _ = trim_silence(
                 wav, top_db=self.trim_top_db, frame_length=self.trim_frame_length

@@ -52,6 +52,40 @@ def test_flac_multiple_blocks(tmp_path, tone16):
     np.testing.assert_allclose(wav, tone16 / 32768.0, atol=1e-6)
 
 
+def test_flac_decoder_rejects_malformed(tmp_path, tone16):
+    """Truncated/corrupt streams must raise, not crash or hang."""
+    from tacotron2_tpu.audio.flac import read_flac
+
+    good = encode_flac(tone16)
+    cases = {
+        "truncated_header.flac": good[:20],
+        "truncated_frames.flac": good[: len(good) // 2],
+        "not_flac.flac": b"RIFFxxxxWAVE" + b"\x00" * 100,
+        "empty.flac": b"",
+        "garbage.flac": bytes(range(256)) * 8,
+    }
+    for name, payload in cases.items():
+        p = str(tmp_path / name)
+        with open(p, "wb") as f:
+            f.write(payload)
+        with pytest.raises((ValueError, FileNotFoundError)):
+            read_flac(p)
+
+
+def test_dataset_reads_flac(tmp_path, tone16):
+    """TTSDataset loads .flac corpora through the native decoder."""
+    from tacotron2_tpu.data import TTSDataset
+
+    with open(tmp_path / "a.flac", "wb") as f:
+        f.write(encode_flac(tone16))
+    ds = TTSDataset(
+        ["a.flac"], ["hello"], str(tmp_path), trim=False,
+        allowed_chars="abcdefghijklmnopqrstuvwxyz ", end_token="^",
+    )
+    data, meta, _ = ds[0]
+    assert data["mel_spectrogram"].shape == (1 + len(tone16) // 256, 80)
+
+
 def test_load_audio_dispatch(tmp_path, tone16):
     from tacotron2_tpu.audio.io import load_audio, write_wav
 
