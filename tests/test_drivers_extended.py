@@ -186,6 +186,70 @@ def test_say_from_lightning_ckpt_file(tmp_path):
     assert sr == 22050 and len(wav) > 0
 
 
+def test_say_with_hifigan_checkpoint_file(tmp_path):
+    """say --hifi-gan-checkpoint: the upstream hifi-gan checkpoint format
+    ({'generator': state_dict} + side config.json, run/say.py:62-90) loads,
+    converts (weight-norm folding) and vocodes on-device."""
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference")
+    from model.hifi_gan import Generator as TorchGenerator
+    from model.tacotron2 import Tacotron2 as TorchTacotron2
+
+    h = {"resblock": "1", "upsample_rates": [8, 2], "upsample_kernel_sizes": [16, 4],
+         "upsample_initial_channel": 16, "resblock_kernel_sizes": [3],
+         "resblock_dilation_sizes": [[1, 3, 5]], "num_mels": 16}
+
+    class AttrDict(dict):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.__dict__ = self
+
+    torch.manual_seed(0)
+    gen = TorchGenerator(AttrDict(dict(h, num_mels=80)))  # ctor ignores num_mels
+    # shrink conv_pre input to 16 mels for the tiny tacotron
+    gen.conv_pre = torch.nn.utils.weight_norm(torch.nn.Conv1d(16, 16, 7, 1, padding=3))
+    hdir = tmp_path / "hifi"
+    hdir.mkdir()
+    torch.save({"generator": gen.state_dict()}, str(hdir / "g_00000001"))
+    with open(hdir / "config.json", "w") as f:
+        json.dump(h, f)
+
+    torch.manual_seed(1)
+    tm = TorchTacotron2(
+        num_chars=len(LJ_CHARS) + 1, encoded_dim=16, encoder_kernel_size=5,
+        num_mels=16, prenet_dim=8, att_rnn_dim=16, att_dim=8,
+        rnn_hidden_dim=16, postnet_dim=8, dropout=0.1,
+    )
+    with torch.no_grad():
+        tm.decoder.gate.bias.fill_(3.0)
+    ckpt_path = str(tmp_path / "t.ckpt")
+    torch.save({"state_dict": {f"tacotron2.{k}": v for k, v in tm.state_dict().items()}}, ckpt_path)
+
+    raw_cfg = {
+        "dataset": {"preprocessing": {"allowed_chars": LJ_CHARS, "end_token": "^",
+                                        "num_mels": 16, "trim": False, "cache": False}},
+        "training": {"lr": 1e-3, "batch_size": 2, "weight_decay": 0.0,
+                     "precision": "32-true", "name": "hifi-say",
+                     "args": {"max_steps": 1}},
+        "model": {"scheduler_milestones": [],
+                  "args": {"prenet_dim": 8, "att_rnn_dim": 16, "att_dim": 8,
+                           "rnn_hidden_dim": 16, "postnet_dim": 8, "dropout": 0.1,
+                           "encoded_dim": 16, "encoder_kernel_size": 5}},
+        "extensions": {"speaker_tokens": {"active": False}, "controls": {"active": False}},
+    }
+    cfg = config_from_dict(raw_cfg)
+    from run.say import do_say
+
+    out_wav = str(tmp_path / "v.wav")
+    do_say(cfg, 0, ckpt_path, "vocoded with hifi gan", out_wav,
+           hifi_gan_checkpoint=str(hdir / "g_00000001"),
+           random_seed=5, max_len_override=16)
+    wav, sr = read_wav(out_wav)
+    assert sr == 22050
+    # upsample factor 16: (n_frames - 1) * 16 samples
+    assert len(wav) % 16 == 0 and len(wav) > 0
+
+
 def test_convert_cli_roundtrip(tmp_path):
     """main.py convert: Lightning .ckpt -> Orbax dir, loadable."""
     torch = pytest.importorskip("torch")
