@@ -107,15 +107,18 @@ def train_mel_export(ctx, speech_dir, checkpoint, results_dir):
 @click.option("--export-mel", is_flag=True, default=False, hidden=True)
 @click.option("--quantize-int8", is_flag=True, default=False,
               help="Fast decode mode: fused Pallas kernel with int8 weight streaming (~0.3% mel divergence).")
+@click.option("--max-len-override", type=int, default=5000, hidden=True)
 def say(ctx, checkpoint, text, out, hifi_gan_checkpoint, random_seed,
-        speaker_id, controls, description, export_mel, quantize_int8):
+        speaker_id, controls, description, export_mel, quantize_int8,
+        max_len_override):
     cfg = _require_config(ctx, "speech")
     from run.say import do_say
 
     do_say(cfg, ctx.obj["device"], checkpoint, text, out,
            hifi_gan_checkpoint=hifi_gan_checkpoint, random_seed=random_seed,
            speaker_id=speaker_id, controls=controls, export_mel=export_mel,
-           description=description, quantize_int8=quantize_int8)
+           description=description, quantize_int8=quantize_int8,
+           max_len_override=max_len_override)
 
 
 @main.command()

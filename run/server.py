@@ -144,6 +144,8 @@ def make_app(server_config: Dict[str, Any], mode: str = "warm") -> web.Applicati
                 cmd += ["--speaker-id", str(speaker_id)]
             if controls:
                 cmd += ["--controls", ",".join(str(float(c)) for c in controls)]
+            if entry.get("max_len"):
+                cmd += ["--max-len-override", str(entry["max_len"])]
             proc = await asyncio.create_subprocess_exec(*cmd)
             await proc.communicate()
         else:

@@ -43,15 +43,18 @@ def save_checkpoint(
     ckpt_dir = path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
     ckptr = _checkpointer()
+    # gather to host numpy before saving: checkpoints must be topology-free
+    # (a ckpt written on an 8-device mesh must load in any process)
+    host = lambda tree: jax.tree.map(lambda x: np.asarray(x), tree)
     ckptr.save(
         path.join(ckpt_dir, "model"),
-        {"params": params, "model_state": model_state},
+        {"params": host(params), "model_state": host(model_state)},
         force=True,
     )
     if opt_state is not None:
         ckptr.save(
             path.join(ckpt_dir, "train"),
-            {"opt_state": opt_state, "step": np.asarray(step if step is not None else 0)},
+            {"opt_state": host(opt_state), "step": np.asarray(step if step is not None else 0)},
             force=True,
         )
     if config_dict is not None:
@@ -61,11 +64,16 @@ def save_checkpoint(
     return ckpt_dir
 
 
+def _restore_numpy(item_path: str):
+    """Restore a pytree saved by save_checkpoint (host numpy — topology-free;
+    device placement is the caller's job)."""
+    return _checkpointer().restore(item_path)
+
+
 def load_model(ckpt_dir: str) -> Tuple[Any, Any, Dict[str, Any]]:
-    """-> (params, model_state, saved_config_dict)."""
+    """-> (params, model_state, saved_config_dict) as host numpy arrays."""
     ckpt_dir = path.abspath(ckpt_dir)
-    ckptr = _checkpointer()
-    restored = ckptr.restore(path.join(ckpt_dir, "model"))
+    restored = _restore_numpy(path.join(ckpt_dir, "model"))
     cfg = {}
     cfg_path = path.join(ckpt_dir, "config.json")
     if path.exists(cfg_path):
@@ -75,17 +83,18 @@ def load_model(ckpt_dir: str) -> Tuple[Any, Any, Dict[str, Any]]:
 
 
 def load_train(ckpt_dir: str, abstract_opt_state) -> Tuple[Any, int]:
-    """Resume: restore (opt_state, step) against the live optimizer layout."""
-    import orbax.checkpoint as ocp
-
+    """Resume: restore (opt_state, step) as host numpy in the live
+    optimizer's structure; the caller places it on its mesh."""
     ckpt_dir = path.abspath(ckpt_dir)
-    ckptr = _checkpointer()
-    target = {
-        "opt_state": jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_opt_state),
-        "step": np.asarray(0),
-    }
-    restored = ckptr.restore(path.join(ckpt_dir, "train"), target)
-    return restored["opt_state"], int(restored["step"])
+    restored = _restore_numpy(path.join(ckpt_dir, "train"))
+    flat_restored = jax.tree.leaves(restored["opt_state"])
+    treedef = jax.tree.structure(abstract_opt_state)
+    if len(flat_restored) != treedef.num_leaves:
+        raise ValueError(
+            "optimizer state in checkpoint does not match the current optimizer"
+        )
+    opt_state = jax.tree.unflatten(treedef, flat_restored)
+    return opt_state, int(restored["step"])
 
 
 def has_train_state(ckpt_dir: str) -> bool:

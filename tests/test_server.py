@@ -62,6 +62,39 @@ def test_server_routes(tiny_server_setup, tmp_path, monkeypatch):
     asyncio.run(_run_server_checks(tiny_server_setup))
 
 
+def test_server_subprocess_mode(tiny_server_setup, tmp_path, monkeypatch):
+    """Reference-parity serving: POST /generate spawns `python main.py ...
+    say ...` in a child process (run/server.py:151-188)."""
+    import asyncio
+    import shutil
+
+    # the subprocess runs main.py from its cwd — stage a minimal repo view
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "main.py").symlink_to(os.path.join(repo, "main.py"))
+    for pkg in ("tacotron2_tpu", "run", "preprocessing", "web", "native"):
+        (tmp_path / pkg).symlink_to(os.path.join(repo, pkg), target_is_directory=True)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+
+    async def run():
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from run.server import make_app
+
+        app = make_app(tiny_server_setup, mode="subprocess")
+        async with TestClient(TestServer(app)) as client:
+            resp = await client.post(
+                "/generate", json={"text": "subprocess mode", "model": 0, "seed": 1}
+            )
+            assert resp.status == 200
+            body = await resp.json()
+            assert os.path.exists(body["path"])
+            with open(body["path"], "rb") as f:
+                assert f.read(4) == b"RIFF"
+
+    asyncio.run(run())
+
+
 async def _run_server_checks(server_config):
     from aiohttp.test_utils import TestClient, TestServer
 
