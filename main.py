@@ -54,7 +54,7 @@ def _require_config(ctx, what="this command"):
 @click.option("--resume-ckpt", required=False, type=str,
               help="Resume training from the given checkpoint.")
 @click.option("--prosody-model-checkpoint", required=False, type=str,
-              help="A prosody model checkpoint (dead path in the reference; accepted for compatibility).")
+              help="A prosody model checkpoint (from train_prosody) used as a frozen perceptual loss when extensions.prosody_model.active.")
 @click.option("--finetune", is_flag=True, default=False,
               help="Fine-tune a model if the configuration allows. If specified, --resume-ckpt is required.")
 @click.option("--finetune-steps", required=False, type=int,
@@ -73,10 +73,33 @@ def train(ctx, speech_dir, results_dir, resume_ckpt, prosody_model_checkpoint,
         cfg, ctx.obj["raw_config"], ctx.obj["device"], speech_dir, results_dir,
         resume_ckpt, finetune=finetune, finetune_steps=finetune_steps,
         max_steps_override=max_steps_override,
+        prosody_model_checkpoint=prosody_model_checkpoint,
     )
 
 
-@main.command()
+@main.command("train_prosody")
+@click.pass_context
+@click.option("--speech-dir", required=True, type=str,
+              help="A directory containing audio files from the dataset.")
+@click.option("--results-dir", required=False, type=str,
+              help="The directory to save results.")
+@click.option("--steps", required=False, type=int, default=10000,
+              help="Number of training steps.")
+@click.option("--lr", required=False, type=float, default=1e-5,
+              help="Learning rate (reference default 1e-5).")
+@click.option("--batch-size", required=False, type=int, default=32)
+def train_prosody(ctx, speech_dir, results_dir, steps, lr, batch_size):
+    """Train the prosody predictor used as a frozen perceptual loss
+    (the reference's ProsodyPredictorLightning capability,
+    model/prosodic_features/prosody_detector.py:158-255)."""
+    cfg = _require_config(ctx, "prosody training")
+    from run.train_prosody import do_train_prosody
+
+    do_train_prosody(cfg, ctx.obj["raw_config"], ctx.obj["device"], speech_dir,
+                     results_dir, steps=steps, lr=lr, batch_size=batch_size)
+
+
+@main.command("train_mel_export")
 @click.pass_context
 @click.option("--speech-dir", required=True, type=str)
 @click.option("--checkpoint", required=True, type=str)
@@ -133,7 +156,7 @@ def test(ctx, speech_dir, checkpoint, hifi_gan_checkpoint):
     do_test(cfg, ctx.obj["device"], speech_dir, checkpoint, hifi_gan_checkpoint)
 
 
-@main.command()
+@main.command("test_correlation")
 @click.pass_context
 @click.option("--speech-dir", required=True, type=str)
 @click.option("--checkpoint", required=True, type=str)

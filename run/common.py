@@ -69,6 +69,21 @@ def load_tacotron_checkpoint(checkpoint: str):
     return params, state, {"hyper_parameters": hparams}
 
 
+def load_prosody_checkpoint(checkpoint: str):
+    """Load a prosody-predictor checkpoint saved by run/train_prosody.py.
+    -> (ProsodyPredictor, params). The analog of the reference's
+    ``ProsodyModelLightning.load_from_checkpoint(...).prosody_predictor``
+    (run/train.py:193-195, commented there)."""
+    from tacotron2_tpu.models.prosody import ProsodyPredictor
+    from tacotron2_tpu.training import checkpoint as ckpt
+
+    params, _, saved = ckpt.load_model(checkpoint)
+    h = dict(saved.get("prosody_predictor", {}))
+    h.pop("features", None)
+    predictor = ProsodyPredictor(**h)
+    return predictor, params
+
+
 def load_hifigan(checkpoint: Optional[str]):
     """Load a HiFi-GAN generator (torch checkpoint + side config.json, the
     upstream hifi-gan repo format — run/say.py:62-90). Returns

@@ -71,6 +71,7 @@ def do_train(
     seed: int = 0,
     log_every: int = 50,
     max_steps_override: Optional[int] = None,
+    prosody_model_checkpoint: Optional[str] = None,
 ) -> str:
     # multi-host: same code path over DCN once the coordinator is configured
     # (SURVEY §2.8/§5.8 — jax.distributed + the identical SPMD step)
@@ -220,6 +221,29 @@ def do_train(
     train_step = make_sharded_train_step(model, tx, mesh)
     eval_step = make_eval_step(model)
 
+    # prosody-model perceptual loss (the reference's commented second-phase
+    # wiring, run/train.py:188-208): load the frozen predictor and switch to
+    # a style-loss step at active_after * max_steps. Two separate jitted
+    # steps — the pre-phase step never pays the predictor's compute.
+    prosody_after = None
+    train_step_style = None
+    if ext.prosody_model.active:
+        if prosody_model_checkpoint is None:
+            raise ValueError(
+                "Prosody model extension is active, but no prosody model "
+                "checkpoint was given!"
+            )
+        from run.common import load_prosody_checkpoint
+
+        predictor, p_params = load_prosody_checkpoint(prosody_model_checkpoint)
+        p_params = place_replicated(p_params, mesh)
+        prosody_after = int(max_steps * ext.prosody_model.active_after)
+        train_step_style = make_sharded_train_step(
+            model, tx, mesh,
+            prosody=(predictor, p_params, ext.prosody_model.loss or "mse"),
+        )
+        print(f"prosody model: style loss activates at step {prosody_after}")
+
     logger = TrainLogger(path.join(results_dir, "lightning_logs"), cfg.training.name)
 
     # validation cadence: Lightning semantics — float = fraction of an epoch,
@@ -269,7 +293,12 @@ def do_train(
             device_batch = shard_batch(
                 {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}, mesh
             )
-            ts, metrics = train_step(ts, device_batch, data_rng)
+            step_fn = (
+                train_step_style
+                if prosody_after is not None and step >= prosody_after
+                else train_step
+            )
+            ts, metrics = step_fn(ts, device_batch, data_rng)
             frames_done += int(batch["mel"].shape[0] * batch["mel"].shape[1])
             step += 1
             if step % log_every == 0 or step == 1:

@@ -132,12 +132,16 @@ class GstConfig:
 
 @dataclass
 class ProsodyModelConfig:
-    """Dormant in the reference (run/train.py:188-208 commented out) but part
-    of the config surface (config/controllable-*-prosody-model.json)."""
+    """Frozen-predictor perceptual loss (config surface:
+    config/controllable-*-prosody-model.json; commented out in the reference,
+    run/train.py:188-208 — live here). ``features`` selects the predictor's
+    target columns for ``train_prosody`` (defaults to the reference wrapper's
+    7 *_norm_clip names, prosody_detector.py:167-175)."""
 
     active: bool = False
     active_after: float = 0.5
     loss: Optional[str] = None
+    features: Optional[List[str]] = None
 
 
 @dataclass

@@ -110,6 +110,15 @@ class TTSDataset:
         self.encoder = CharEncoder(allowed_chars, end_token)
         self.melspectrogram = TacotronMelSpectrogram(n_mels=num_mels, sample_rate=sample_rate)
 
+        # cache-key tag: the mel depends on these preprocessing params, so a
+        # changed config against the same cache_dir must MISS rather than
+        # serve stale mels (the reference keys on filename alone,
+        # tts_dataset.py:185-187 — a footgun we don't reproduce)
+        import hashlib
+
+        key = f"{trim}|{trim_top_db}|{trim_frame_length}|{silence}|{num_mels}|{sample_rate}"
+        self._cache_tag = hashlib.sha1(key.encode()).hexdigest()[:8]
+
     def __len__(self) -> int:
         return len(self.filenames)
 
@@ -118,7 +127,9 @@ class TTSDataset:
         filename = self.filenames[i]
         cache_path = None
         if self.cache:
-            cache_path = path.join(self.cache_dir, f"{filename.replace('/', '_')}.npy")
+            cache_path = path.join(
+                self.cache_dir, f"{filename.replace('/', '_')}.{self._cache_tag}.npy"
+            )
             if path.exists(cache_path):
                 return np.load(cache_path)
 

@@ -9,9 +9,12 @@ re-creation of the architecture it describes: optional delta/delta-delta
 input channels, 6 Xavier-init LeakyReLU Conv2d layers with one (2,4)
 max-pool, pre-RNN projection, 2-layer BiGRU/BiLSTM, learned frame weights
 softmaxed over valid frames, and a tanh head over ``num_features`` outputs.
-Historically used as a frozen perceptual-loss objective in the second half
-of training (run/train.py:188-208, commented out there; live here via
-``extensions.prosody_model``).
+Used as a frozen perceptual-loss objective in the second half of training
+(reference wiring survives only as comments, run/train.py:188-208 /
+model/tts_model.py:178-225; live HERE: run/train_prosody.py trains this
+predictor, and run/train.py activates the style loss at
+``extensions.prosody_model.active_after`` when given
+``--prosody-model-checkpoint`` — see training/losses.py:prosody_style_loss).
 """
 
 from __future__ import annotations
@@ -39,7 +42,7 @@ def compute_deltas(x: jnp.ndarray, win_length: int = 5) -> jnp.ndarray:
 class ProsodyPredictor:
     def __init__(
         self,
-        conv_out_dim: int = 2560,
+        conv_out_dim: int | None = None,
         rnn_in_dim: int = 768,
         use_deltas: bool = True,
         use_lstm: bool = False,
@@ -49,6 +52,11 @@ class ProsodyPredictor:
         num_mels: int = 80,
         policy: Policy = F32,
     ):
+        if conv_out_dim is None:
+            # the (2,4) max-pool quarters the mel axis and the quirky
+            # two-step reshape halves the flattened vector (see apply):
+            # default 2560 for the reference's 80 mels
+            conv_out_dim = (num_mels // 4) * 256 // 2
         self.conv_out_dim = conv_out_dim
         self.rnn_in_dim = rnn_in_dim
         self.use_deltas = use_deltas

@@ -43,12 +43,24 @@ def make_mesh(
 
 
 def make_mesh_for_batch(batch_size: int, model_parallel: int = 1) -> Mesh:
-    """Largest data-parallel mesh whose size divides the global batch."""
+    """Largest data-parallel mesh whose size divides the global batch.
+    Warns loudly when devices have to be dropped (e.g. batch 31 on 8
+    devices would silently train on 1 chip otherwise)."""
     devices = jax.devices()
     n = len(devices) // model_parallel * model_parallel
     while n > model_parallel and batch_size % (n // model_parallel) != 0:
         n -= model_parallel
     n = max(n, model_parallel)
+    if n < len(devices):
+        import warnings
+
+        warnings.warn(
+            f"batch_size={batch_size} is not divisible across "
+            f"{len(devices)} devices (model_parallel={model_parallel}); "
+            f"using only {n} device(s) — {len(devices) - n} idle. "
+            f"Pick a batch size divisible by the data-parallel degree.",
+            stacklevel=2,
+        )
     return make_mesh(n_devices=n, model_parallel=model_parallel)
 
 
@@ -104,11 +116,13 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 
-def make_sharded_train_step(model, tx, mesh: Mesh, donate: bool = True):
+def make_sharded_train_step(model, tx, mesh: Mesh, donate: bool = True, prosody=None):
     """DP/TP train step: same pure step as single-chip, jitted; sharding
     comes from argument placement (place_params/shard_batch). The loss/BN
-    means over the DP-sharded batch axis compile to psums over ICI."""
+    means over the DP-sharded batch axis compile to psums over ICI.
+    ``prosody``: optional frozen-predictor style-loss triple (see
+    training/step.py:build_train_step)."""
     from tacotron2_tpu.training.step import build_train_step
 
-    step = build_train_step(model, tx)
+    step = build_train_step(model, tx, prosody=prosody)
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -84,15 +84,35 @@ def load_model(ckpt_dir: str) -> Tuple[Any, Any, Dict[str, Any]]:
 
 def load_train(ckpt_dir: str, abstract_opt_state) -> Tuple[Any, int]:
     """Resume: restore (opt_state, step) as host numpy in the live
-    optimizer's structure; the caller places it on its mesh."""
+    optimizer's structure; the caller places it on its mesh.
+
+    Validation is per-leaf shape AND dtype, not just leaf count — a
+    same-count/different-shape tree would otherwise unflatten into garbage
+    and fail deep inside optax instead of here."""
     ckpt_dir = path.abspath(ckpt_dir)
     restored = _restore_numpy(path.join(ckpt_dir, "train"))
     flat_restored = jax.tree.leaves(restored["opt_state"])
-    treedef = jax.tree.structure(abstract_opt_state)
-    if len(flat_restored) != treedef.num_leaves:
+    flat_live, treedef = jax.tree.flatten(abstract_opt_state)
+    if len(flat_restored) != len(flat_live):
         raise ValueError(
-            "optimizer state in checkpoint does not match the current optimizer"
+            f"optimizer state in checkpoint does not match the current "
+            f"optimizer: {len(flat_restored)} leaves vs {len(flat_live)}"
         )
+    for i, (r, live) in enumerate(zip(flat_restored, flat_live)):
+        r_shape = getattr(r, "shape", ())
+        live_shape = getattr(live, "shape", ())
+        if tuple(r_shape) != tuple(live_shape):
+            raise ValueError(
+                f"optimizer state in checkpoint does not match the current "
+                f"optimizer: leaf {i} shape {tuple(r_shape)} vs {tuple(live_shape)}"
+            )
+        r_dtype = getattr(r, "dtype", None)
+        live_dtype = getattr(live, "dtype", None)
+        if r_dtype is not None and live_dtype is not None and np.dtype(r_dtype) != np.dtype(live_dtype):
+            raise ValueError(
+                f"optimizer state in checkpoint does not match the current "
+                f"optimizer: leaf {i} dtype {r_dtype} vs {live_dtype}"
+            )
     opt_state = jax.tree.unflatten(treedef, flat_restored)
     return opt_state, int(restored["step"])
 

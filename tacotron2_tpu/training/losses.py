@@ -57,3 +57,45 @@ def concordance_correlation_coefficient_loss(pred: jnp.ndarray, target: jnp.ndar
     tgt_var = jnp.var(target)
     ccc = 2.0 * covariance / (pred_var + tgt_var + (pred_mean - tgt_mean) ** 2 + 1e-12)
     return 1.0 - ccc
+
+
+def ccc_per_feature(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Per-column concordance correlation over a (B, F) batch — the
+    torchmetrics.functional.concordance_corrcoef the reference predictor
+    training logs per feature (model/prosodic_features/prosody_detector.py:
+    233-235, 249-253). torchmetrics' running sums cancel the bias factors,
+    leaving CCC = 2*cov_b / (var_b(x) + var_b(y) + (mean diff)^2) with
+    biased (population) moments — reproduced here."""
+    pm = jnp.mean(pred, axis=0)
+    tm = jnp.mean(target, axis=0)
+    cov = jnp.mean((pred - pm) * (target - tm), axis=0)
+    pv = jnp.var(pred, axis=0)
+    tv = jnp.var(target, axis=0)
+    return 2.0 * cov / (pv + tv + (pm - tm) ** 2 + 1e-12)
+
+
+def prosody_style_loss(
+    predictor,
+    predictor_params,
+    mels_post: jnp.ndarray,
+    mel_target: jnp.ndarray,
+    mel_lengths: jnp.ndarray,
+    kind: str = "mse",
+) -> jnp.ndarray:
+    """Frozen-predictor perceptual ("style") loss over the three activation
+    levels, per the reference's commented wiring (model/tts_model.py:178-225):
+    run the frozen prosody predictor over the ground-truth mel (targets) and
+    over mel_post (predictions); style = MSE(low) + MSE(mid) + MSE(high).
+    ``kind="ccc"`` substitutes the CCC loss per level — the semantics of the
+    reference's unread ``extensions.prosody_model.loss`` key
+    (run/train.py:207, commented)."""
+    _, low, mid, high = predictor.apply(predictor_params, mel_target, mel_lengths)
+    low = jax.lax.stop_gradient(low)
+    mid = jax.lax.stop_gradient(mid)
+    high = jax.lax.stop_gradient(high)
+    _, low_p, mid_p, high_p = predictor.apply(predictor_params, mels_post, mel_lengths)
+    if kind == "ccc":
+        term = concordance_correlation_coefficient_loss
+    else:
+        term = mse
+    return term(low_p, low) + term(mid_p, mid) + term(high_p, high)

@@ -21,10 +21,10 @@ import jax
 import jax.numpy as jnp
 
 from tacotron2_tpu.models.tacotron2 import Tacotron2
-from tacotron2_tpu.training.losses import tacotron2_loss
+from tacotron2_tpu.training.losses import prosody_style_loss, tacotron2_loss
 
 
-def build_train_step(model: Tacotron2, tx, remat: bool = True):
+def build_train_step(model: Tacotron2, tx, remat: bool = True, prosody=None):
     """Pure (un-jitted) train step: (train_state, batch, rng) ->
     (train_state, metrics). Shared by the single-chip and mesh-sharded paths.
 
@@ -34,6 +34,12 @@ def build_train_step(model: Tacotron2, tx, remat: bool = True):
     decode scan in the backward pass — the decode is weight-bandwidth
     bound, so recompute is nearly free and batch x frames scales far
     beyond what stored activations allow.
+
+    ``prosody``: optional (ProsodyPredictor, frozen params, loss kind) —
+    adds the perceptual style loss of the reference's prosody-model phase
+    (model/tts_model.py:204-225, commented there). The frozen params are
+    closed over: jit hoists them as device constants, so the predictor
+    weights never re-transfer per step.
     """
 
     def loss_fn(params, model_state, batch, rng):
@@ -54,6 +60,16 @@ def build_train_step(model: Tacotron2, tx, remat: bool = True):
         loss, metrics = tacotron2_loss(
             out.mels, out.mels_post, out.gates, batch["mel"], batch["gate"]
         )
+        if prosody is not None:
+            predictor, predictor_params, kind = prosody
+            style = prosody_style_loss(
+                predictor, predictor_params, out.mels_post, batch["mel"],
+                batch["mel_len"], kind=kind,
+            )
+            loss = loss + style
+            metrics = dict(metrics)
+            metrics["style_loss"] = style
+            metrics["loss"] = loss
         return loss, (metrics, new_model_state)
 
     def train_step(state, batch, rng):

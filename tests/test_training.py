@@ -182,3 +182,25 @@ def test_freeze_mask_finetune():
     assert not np.allclose(
         np.asarray(ts2.params["decoder"]["gate"]["w"]), np.asarray(params["decoder"]["gate"]["w"])
     )
+
+
+def test_resume_rejects_mismatched_opt_state(tmp_path):
+    """load_train validates per-leaf shape/dtype, not just leaf count — a
+    same-count/different-shape checkpoint must raise the clean error."""
+    from tacotron2_tpu.training import checkpoint as ckpt_lib
+
+    tx, _ = make_optimizer(1e-3, 0.0)
+    params_a = {"w": jnp.zeros((4, 4)), "b": jnp.zeros((4,))}
+    params_b = {"w": jnp.zeros((8, 4)), "b": jnp.zeros((4,))}  # same leaf count
+    opt_a = tx.init(params_a)
+    opt_b = tx.init(params_b)
+
+    d = str(tmp_path / "ck")
+    ckpt_lib.save_checkpoint(d, params_a, {}, opt_state=opt_a, step=7)
+
+    # matching structure restores
+    state, step = ckpt_lib.load_train(d, opt_a)
+    assert step == 7
+
+    with pytest.raises(ValueError, match="does not match"):
+        ckpt_lib.load_train(d, opt_b)
