@@ -201,6 +201,28 @@ def server(ctx, port, mode):
     do_server(port, ctx.obj["raw_config"], mode=mode)
 
 
+@main.command("embed_descriptions")
+@click.option("--csv", "csv_path", required=True, type=str,
+              help="A pipe-separated manifest with a 'description' text column.")
+@click.option("--speech-dir", required=True, type=str,
+              help="Dataset root; embeddings are written under description_embeddings/.")
+@click.option("--out-csv", required=False, type=str, default=None,
+              help="Output manifest path (default: <csv>-embedded.csv).")
+@click.option("--bert", required=False, type=str, default="google-bert/bert-base-uncased",
+              help="HF model name or local path for the BERT weights/tokenizer.")
+@click.option("--augmentations", required=False, type=int, default=0,
+              help="Number of token-dropout augmented variants per description.")
+@click.option("--batch-size", required=False, type=int, default=32)
+def embed_descriptions(csv_path, speech_dir, out_csv, bert, augmentations, batch_size):
+    """Generate BERT description embeddings (+ augmentation dirs) in the
+    layout the training path consumes (reference consumption semantics:
+    datasets/tts_dataset.py:253-291; the reference ships no producer)."""
+    from run.embed_descriptions import do_embed_descriptions
+
+    do_embed_descriptions(csv_path, speech_dir, out_csv=out_csv, bert=bert,
+                          augmentations=augmentations, batch_size=batch_size)
+
+
 @main.command()
 @click.option("--checkpoint", required=True, type=str, help="A PyTorch-Lightning .ckpt file")
 @click.option("--out", required=True, type=str, help="Output Orbax checkpoint directory")

@@ -94,7 +94,14 @@ def test_fused_int8_close_to_f32():
     a = np.asarray(ref.mels_post)[:, :n]
     b = np.asarray(q.mels_post)[:, :n]
     rel = np.abs(a - b).mean() / max(np.abs(a).mean(), 1e-9)
-    assert rel < 0.05, f"int8 divergence too large: {rel:.3%}"
+    # REGRESSION GATE: budget documented in Tacotron2.forward_infer_fused's
+    # docstring. Measured 0.19% on this config (0.28% flagship on hardware,
+    # PERF.md); 1% trips on any real quantization regression while leaving
+    # noise headroom.
+    assert rel < 0.01, f"int8 divergence too large: {rel:.3%}"
+    # gate logits must stay close enough to preserve stop decisions
+    g = np.abs(np.asarray(ref.gates)[:, :n] - np.asarray(q.gates)[:, :n]).max()
+    assert g < 0.05, f"int8 gate-logit divergence too large: {g}"
 
 
 def test_fused_with_controls_and_speaker():
