@@ -74,9 +74,13 @@ def do_train(
     prosody_model_checkpoint: Optional[str] = None,
 ) -> str:
     # multi-host: same code path over DCN once the coordinator is configured
-    # (SURVEY §2.8/§5.8 — jax.distributed + the identical SPMD step)
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    # (SURVEY §2.8/§5.8 — jax.distributed + the identical SPMD step). Skip
+    # when a launcher already initialized the runtime (tests/multihost_worker).
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized
 
     # torch.set_float32_matmul_precision analog (run/train.py:170):
     # controls how f32 matmuls lower on the MXU

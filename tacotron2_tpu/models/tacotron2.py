@@ -425,6 +425,7 @@ class Tacotron2:
         interpret: bool = False,
         quantize: bool = False,
         gst_reference_mel=None,
+        packed=None,
     ) -> Tacotron2Output:
         """Free-running decode through the fused Pallas kernel
         (tacotron2_tpu.ops.decoder_loop_pallas) — the TPU fast path. Same
@@ -443,18 +444,25 @@ class Tacotron2:
 
         cfg = self.cfg
         B, L = chars_idx.shape
+        # the Mosaic kernel only exists for TPU; on CPU fall back to the
+        # (bit-equivalent) interpreter so callers don't need to care
+        interpret = interpret or jax.default_backend() == "cpu"
         rng, enc_rng, pre_rng = jax.random.split(rng, 3)
         style = self._infer_style(params, state, B, gst_reference_mel)
         encoded, att_encoded, mask, _ = self._encode(
             params, state, chars_idx, chars_len, False, enc_rng,
             speaker_id, description_embeddings, style=style,
         )
-        packed = pack_decoder_params(
-            params, cfg.num_mels, cfg.encoded_full_dim, cfg.att_rnn_dim,
-            cfg.rnn_hidden_dim, cfg.prenet_dim, cfg.controls_dim,
-            dtype=self.policy.compute_dtype if self.policy.compute_dtype == jnp.bfloat16 else jnp.float32,
-            quantize=quantize,
-        )
+        if packed is None:
+            packed = pack_decoder_params(
+                params, cfg.num_mels, cfg.encoded_full_dim, cfg.att_rnn_dim,
+                cfg.rnn_hidden_dim, cfg.prenet_dim, cfg.controls_dim,
+                dtype=self.policy.compute_dtype if self.policy.compute_dtype == jnp.bfloat16 else jnp.float32,
+                quantize=quantize,
+            )
+        else:
+            # a pre-packed (serving-cached) decoder carries its own mode
+            quantize = packed.w_stream.dtype == jnp.int8
         # int8 halves the streamed block size, so the chunk width doubles
         # (fewer grid steps per frame, same VMEM double-buffer budget)
         cw = min(2048 if quantize else 1024, 4 * cfg.att_rnn_dim)
@@ -477,6 +485,26 @@ class Tacotron2:
         mels_post = mels + post
         out = self._mask_outputs(mels, mels_post, gates[..., None], aligns, lengths)
         return out._replace(n_frames=exec_steps)
+
+    # ------------------------------------------------------------------
+    def make_packed_decoder(self, params, quantize: bool = False):
+        """Pack (and optionally int8-quantize) the decoder weights ONCE,
+        eagerly, into concrete device arrays for reuse across requests —
+        the serving-side companion of ``forward_infer_fused`` (which
+        otherwise re-packs inside every fresh jit trace; fine for a
+        one-shot CLI, wrong for a warm server)."""
+        from tacotron2_tpu.ops.decoder_loop_pallas import pack_decoder_params
+
+        cfg = self.cfg
+        packed = pack_decoder_params(
+            params, cfg.num_mels, cfg.encoded_full_dim, cfg.att_rnn_dim,
+            cfg.rnn_hidden_dim, cfg.prenet_dim, cfg.controls_dim,
+            dtype=self.policy.compute_dtype if self.policy.compute_dtype == jnp.bfloat16 else jnp.float32,
+            quantize=quantize,
+        )
+        # materialize eagerly so later jit traces capture device-resident
+        # constants instead of re-tracing the pack/quantize graph
+        return jax.tree.map(jnp.asarray, packed)
 
     # ------------------------------------------------------------------
     def _check_controls(self, controls):

@@ -71,6 +71,11 @@ class PackedDecoder(NamedTuple):
     b_out: jnp.ndarray  # (1, 128)
 
 
+# diagnostic: counts pack invocations so serving tests can assert the warm
+# path packs ONCE (tacotron2.CachedFusedDecoder), not per request
+PACK_CALLS = [0]
+
+
 def pack_decoder_params(params, num_mels: int, encoded_full_dim: int,
                         att_rnn_dim: int, rnn_hidden_dim: int, prenet_dim: int,
                         controls_dim: int = 0, dtype=jnp.bfloat16,
@@ -81,6 +86,7 @@ def pack_decoder_params(params, num_mels: int, encoded_full_dim: int,
     scales — halves the per-frame HBM bill (the decode's limit); activations
     quantize per-row in-kernel and the MXU runs native int8 (measured mel
     divergence vs f32 ~0.7% relative after 400 AR steps)."""
+    PACK_CALLS[0] += 1
     P, D, H, M = prenet_dim, encoded_full_dim, att_rnn_dim, num_mels
     assert att_rnn_dim == rnn_hidden_dim, "kernel assumes att_rnn_dim == rnn_hidden_dim"
     E = _round_up(max(controls_dim, 1), 16)

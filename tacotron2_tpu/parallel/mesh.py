@@ -112,7 +112,22 @@ def place_replicated(tree, mesh: Mesh):
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch with its leading axis sharded over "data".
+
+    Multi-host (SURVEY §5.8): when the mesh spans processes the target
+    sharding is not fully addressable, so each process contributes its
+    addressable shards from the (identical, deterministically-ordered)
+    host copy via make_array_from_callback — the DCN-ready input path."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        import numpy as np
+
+        return {
+            k: jax.make_array_from_callback(
+                np.shape(v), sh, lambda idx, v=v: np.asarray(v)[idx]
+            )
+            for k, v in batch.items()
+        }
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 

@@ -1,0 +1,105 @@
+"""Multi-host (DCN) training test: two processes x 4 virtual CPU devices
+run the REAL do_train over gloo collectives and must produce the same
+final parameters as a single-process 8-device run (SURVEY §5.8: the
+multi-host story is jax.distributed + the identical SPMD step)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tacotron2_tpu.audio.io import write_wav
+
+LJ_CHARS = "!'(),.:;? \\-abcdefghijklmnopqrstuvwxyz"
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _stage_workdir(workdir):
+    speech = os.path.join(workdir, "speech")
+    os.makedirs(speech, exist_ok=True)
+    rows = []
+    for i in range(8):
+        wav = (0.3 * np.sin(2 * np.pi * (170 + 25 * i) * np.arange(5000) / 22050)).astype(np.float32)
+        write_wav(os.path.join(speech, f"m{i}.wav"), wav, 22050)
+        rows.append(f"utterance number {i}|m{i}.wav")
+    csv = os.path.join(workdir, "train.csv")
+    with open(csv, "w") as f:
+        f.write("text|wav\n" + "\n".join(rows) + "\n")
+    raw = {
+        "dataset": {
+            "train": csv, "val": csv,
+            "preprocessing": {"allowed_chars": LJ_CHARS, "end_token": "^",
+                               "num_mels": 16, "trim": False, "cache": False},
+        },
+        "training": {"lr": 1e-3, "batch_size": 8, "weight_decay": 0.0,
+                     "precision": "32-true", "name": "mh",
+                     "args": {"max_steps": 2}},
+        "model": {"scheduler_milestones": [],
+                  "args": {"prenet_dim": 8, "att_rnn_dim": 16, "att_dim": 8,
+                           "rnn_hidden_dim": 16, "postnet_dim": 8, "dropout": 0.1,
+                           "encoded_dim": 16, "encoder_kernel_size": 5}},
+        "extensions": {},
+    }
+    with open(os.path.join(workdir, "config.json"), "w") as f:
+        json.dump(raw, f)
+    return raw, speech
+
+
+@pytest.mark.timeout(900)
+def test_two_process_train_matches_single_process(tmp_path):
+    workdir = str(tmp_path)
+    raw, speech = _stage_workdir(workdir)
+
+    # --- 2-process run over gloo (the DCN stand-in) -------------------
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port), workdir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=840)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+    assert "done, ckpt" in outs[0]
+
+    # --- single-process 8-device run of the identical config ----------
+    from run.train import do_train
+    from tacotron2_tpu.config import config_from_dict
+
+    cfg = config_from_dict(raw)
+    single_out = do_train(
+        cfg, raw, 0, speech, os.path.join(workdir, "results_single"), None,
+        log_every=1,
+    )
+
+    from tacotron2_tpu.training import checkpoint as ckpt_lib
+
+    p_multi, _, _ = ckpt_lib.load_model(os.path.join(workdir, "results_multihost", "final.ckpt"))
+    p_single, _, _ = ckpt_lib.load_model(single_out)
+
+    import jax
+
+    flat_m, tree_m = jax.tree.flatten(p_multi)
+    flat_s, tree_s = jax.tree.flatten(p_single)
+    assert tree_m == tree_s
+    for a, b in zip(flat_m, flat_s):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
