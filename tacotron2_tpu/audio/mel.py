@@ -173,11 +173,18 @@ class TacotronMelSpectrogram:
         return 1 + num_samples // self.hop_length
 
     def _numpy_compute(self, padded: np.ndarray, num_frames: int) -> np.ndarray:
-        """Host-side numpy path, numerically identical math to the XLA path
-        (cross-backend parity-tested)."""
+        """Host-side path, numerically identical math to the XLA path
+        (cross-backend parity-tested). Uses scipy's float32 rfft when
+        available — np.fft always promotes to float64, which doubles the
+        FFT cost on the (single-core) input pipeline; f32 matches
+        torch.stft's own compute precision anyway."""
         idx = _frame_indices(num_frames, self.n_fft, self.hop_length)
         frames = padded[idx] * self.window[None, :]
-        spec = np.abs(np.fft.rfft(frames, axis=-1)).astype(np.float32)
+        try:
+            from scipy.fft import rfft as _rfft
+        except ImportError:
+            _rfft = np.fft.rfft
+        spec = np.abs(_rfft(frames, axis=-1)).astype(np.float32)
         if self.power != 1.0:
             spec = spec**self.power
         mel = spec @ self.fbanks

@@ -16,10 +16,27 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
+
+# -- process-worker plumbing -------------------------------------------------
+# The reference uses 8 DataLoader *processes* (run/train.py:150-168). Threads
+# are our default (numpy FFT/matmul release the GIL for the heavy slices),
+# but worker_type="process" is available for GIL-bound datasets. The dataset
+# is shipped ONCE per worker via the pool initializer (not per task), and
+# workers are spawned (never forked) so they don't inherit a live TPU client.
+_WORKER_DATASET = None
+
+
+def _process_worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _process_worker_get(i: int):
+    return _WORKER_DATASET[i]
 
 
 def _round_up(x: int, m: Optional[int]) -> int:
@@ -98,7 +115,9 @@ class TTSDataLoader:
         bucket_frames: Optional[int] = None,
         prefetch_factor: int = 2,
         sort_by_length: bool = False,
+        worker_type: str = "thread",
     ):
+        assert worker_type in ("thread", "process")
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
@@ -109,13 +128,41 @@ class TTSDataLoader:
         self.bucket_frames = bucket_frames
         self.prefetch_factor = max(1, prefetch_factor)
         self.sort_by_length = sort_by_length
+        self.worker_type = worker_type
         self._epoch = 0
+        self._process_pool = None
+
+    def _pool(self):
+        if self.worker_type == "thread":
+            return ThreadPoolExecutor(max_workers=self.num_workers), self.dataset.__getitem__
+        if self._process_pool is None:
+            import multiprocessing
+
+            # spawn: workers must not inherit a (forked) live TPU client
+            self._process_pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=multiprocessing.get_context("spawn"),
+                initializer=_process_worker_init,
+                initargs=(self.dataset,),
+            )
+        return self._process_pool, _process_worker_get
 
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
+
+    def close(self):
+        if self._process_pool is not None:
+            self._process_pool.shutdown(wait=False)
+            self._process_pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _index_batches(self) -> List[List[int]]:
         idx = np.arange(len(self.dataset))
@@ -154,13 +201,18 @@ class TTSDataLoader:
 
         def produce():
             try:
-                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                pool, get_item = self._pool()
+                try:
                     for b in batches:
                         if stop.is_set():
                             return
-                        items = list(pool.map(self.dataset.__getitem__, b))
+                        items = list(pool.map(get_item, b))
                         if not _put(collate(items, self.bucket_chars, self.bucket_frames)):
                             return
+                finally:
+                    if self.worker_type == "thread":
+                        pool.shutdown(wait=False)
+                    # process pools persist across epochs (spawn is slow)
                 _put(None)
             except Exception as e:  # surface worker errors to the consumer
                 _put(e)

@@ -173,3 +173,21 @@ def test_loader_shuffle_changes_order(corpus):
     e2 = next(iter(dl))["chars_len"].tolist()
     # different epochs reshuffle (lengths are distinct so order is visible)
     assert sorted(e1) == sorted(e2)
+
+
+def test_loader_process_workers(corpus):
+    """worker_type="process": spawn-based pool (reference parity with the 8
+    DataLoader processes, run/train.py:150-168) yields identical batches to
+    the thread pool."""
+    ds = _dataset(corpus)
+    kw = dict(batch_size=2, shuffle=False, drop_last=False, num_workers=2)
+    thread_batches = list(TTSDataLoader(ds, worker_type="thread", **kw))
+    proc_loader = TTSDataLoader(ds, worker_type="process", **kw)
+    proc_batches = list(proc_loader)
+    # second epoch reuses the persistent pool
+    proc_batches2 = list(proc_loader)
+    proc_loader.close()
+    assert len(proc_batches) == len(thread_batches) == len(proc_batches2)
+    for a, b in zip(thread_batches, proc_batches):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
