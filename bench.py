@@ -64,7 +64,8 @@ def main():
     chars = jnp.asarray(rng.integers(1, 40, size=(batch, chars_len)).astype(np.int64))
     lens = jnp.full((batch,), chars_len, dtype=jnp.int64)
 
-    use_int8 = os.environ.get("BENCH_INT8") == "1"  # fused int8 fast mode
+    use_int8 = os.environ.get("BENCH_INT8") == "1"  # fused int8 mode
+    use_xla = os.environ.get("BENCH_XLA") == "1"  # legacy XLA while_loop
 
     comps = {}
     for ml in (len_a, len_b):
@@ -73,8 +74,10 @@ def main():
                 out = model.forward_infer_fused(
                     params, state, chars, lens, ml, rng=rng, quantize=True
                 )
-            else:
+            elif use_xla:
                 out = model.forward_infer(params, state, chars, lens, ml, rng=rng)
+            else:  # the production path: fused resident kernel on TPU
+                out = model.forward_infer_fast(params, state, chars, lens, ml, rng=rng)
             return jnp.sum(out.mels_post), out.n_frames
         comps[ml] = jax.jit(say).lower(
             params, state, chars, lens, jax.random.PRNGKey(0)

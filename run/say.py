@@ -98,13 +98,15 @@ def do_say(
     model = build_model(cfg)
 
     if quantize_int8:
-        # opt-in fast mode: fused Pallas decode with int8 weight streaming
-        # (~0.3% mel divergence; 31 vs 34 us/frame on v5e — PERF.md)
+        # opt-in int8 mode: fused Pallas decode with quantized resident
+        # weights (~0.3% mel divergence — PERF.md)
         fwd = lambda p, s, c, l, r: model.forward_infer_fused(
             p, s, c, l, max_len_override, rng=r, quantize=True, **kwargs
         )
     else:
-        fwd = lambda p, s, c, l, r: model.forward_infer(
+        # fused-on-TPU / XLA-on-CPU dispatch (bit-comparable; 9.2 vs 33.7
+        # us/step at batch 1 on v5e — PERF.md)
+        fwd = lambda p, s, c, l, r: model.forward_infer_fast(
             p, s, c, l, max_len_override, rng=r, **kwargs
         )
     out = jax.jit(fwd)(params, model_state, jnp.asarray(chars_idx),

@@ -106,7 +106,7 @@ def _synthesize(bundle, text: str, seed: Optional[int], speaker_id: Optional[int
             max_len, rng=key, packed=packed, **kwargs,
         )
     else:
-        out = model.forward_infer(
+        out = model.forward_infer_fast(
             params, model_state, jnp.asarray(chars), jnp.asarray(lens),
             max_len, rng=key, **kwargs,
         )

@@ -84,7 +84,7 @@ def do_test(
 
     @jax.jit
     def predict(params, state, chars, lens, rng, **kw):
-        return model.forward_infer(params, state, chars, lens, max_len_override, rng=rng, **kw)
+        return model.forward_infer_fast(params, state, chars, lens, max_len_override, rng=rng, **kw)
 
     os.makedirs(results_dir, exist_ok=True)
     failures_path = path.join(results_dir, "failures.csv")

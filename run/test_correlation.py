@@ -82,7 +82,7 @@ def do_test_correlation(
 
     @jax.jit
     def predict(params, state, chars, lens, rng, **kw):
-        return model.forward_infer(params, state, chars, lens, max_len_override, rng=rng, **kw)
+        return model.forward_infer_fast(params, state, chars, lens, max_len_override, rng=rng, **kw)
 
     prep_kwargs = _dataset_kwargs(cfg.dataset.preprocessing)
     prep_kwargs["cache"] = False

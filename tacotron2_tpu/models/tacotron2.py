@@ -250,6 +250,7 @@ class Tacotron2:
         prenet_dropout: bool = True,
         remat: bool = False,
         gst_reference_mel=None,  # defaults to the GT mel when GST is active
+        scan_unroll: int = 1,
     ) -> Tuple[Tacotron2Output, dict]:
         """Teacher-forced forward: ONE lax.scan over the decode step
         (replaces the reference's Python loop, model/tacotron2.py:276-317).
@@ -292,7 +293,14 @@ class Tacotron2:
 
         if remat:
             scan_step = jax.checkpoint(scan_step)
-        _, (mels, gates, aligns) = jax.lax.scan(scan_step, dec_state, (decoder_in, step_keys))
+        # scan_unroll > 1 amortizes the backward's dW-accumulator
+        # read-modify-write (the dominant HBM cost of training, PERF.md)
+        # over k steps: XLA fuses the k per-step dW adds into one
+        # accumulator update per unrolled iteration
+        _, (mels, gates, aligns) = jax.lax.scan(
+            scan_step, dec_state, (decoder_in, step_keys),
+            unroll=scan_unroll if T % scan_unroll == 0 else 1,
+        )
         mels = jnp.swapaxes(mels, 0, 1)  # (B, T, M)
         gates = jnp.swapaxes(gates, 0, 1)[..., None]  # (B, T, 1)
         aligns = jnp.swapaxes(aligns, 0, 1)  # (B, T, L)
@@ -399,6 +407,29 @@ class Tacotron2:
         return out._replace(n_frames=t)
 
     # ------------------------------------------------------------------
+    def forward_infer_fast(
+        self, params, state, chars_idx, chars_len, max_len: int, rng, **kw
+    ) -> Tacotron2Output:
+        """Production decode dispatch: the fused Pallas kernel with the
+        full-residency default (2-3.7x faster than the XLA while_loop on
+        v5e across batch 1-32, PERF.md; bit-comparable — same bf16 matmul
+        class) when the config/backend supports it; otherwise the XLA
+        while_loop parity path. Used by say/test/server."""
+        cfg = self.cfg
+        fused_ok = (
+            cfg.att_rnn_dim == cfg.rnn_hidden_dim
+            and 4 * cfg.att_rnn_dim >= 1024
+            and jax.default_backend() != "cpu"
+        )
+        if fused_ok:
+            return self.forward_infer_fused(
+                params, state, chars_idx, chars_len, max_len, rng=rng, **kw
+            )
+        return self.forward_infer(
+            params, state, chars_idx, chars_len, max_len, rng=rng, **kw
+        )
+
+    # ------------------------------------------------------------------
     def _infer_style(self, params, state, batch: int, gst_reference_mel):
         """Inference-time GST style: from the given reference mel, or a
         neutral zeros-reference when none is provided."""
@@ -426,6 +457,8 @@ class Tacotron2:
         quantize: bool = False,
         gst_reference_mel=None,
         packed=None,
+        resident_cols: Optional[int] = None,
+        chunk_width: Optional[int] = None,
     ) -> Tacotron2Output:
         """Free-running decode through the fused Pallas kernel
         (tacotron2_tpu.ops.decoder_loop_pallas) — the TPU fast path. Same
@@ -454,26 +487,32 @@ class Tacotron2:
             speaker_id, description_embeddings, style=style,
         )
         if packed is None:
+            if resident_cols is None:
+                resident_cols = self.default_resident_cols(quantize)
             packed = pack_decoder_params(
                 params, cfg.num_mels, cfg.encoded_full_dim, cfg.att_rnn_dim,
                 cfg.rnn_hidden_dim, cfg.prenet_dim, cfg.controls_dim,
                 dtype=self.policy.compute_dtype if self.policy.compute_dtype == jnp.bfloat16 else jnp.float32,
-                quantize=quantize,
+                quantize=quantize, resident_cols=resident_cols,
             )
         else:
             # a pre-packed (serving-cached) decoder carries its own mode
             quantize = packed.w_stream.dtype == jnp.int8
+            resident_cols = (
+                0 if packed.w_res.shape[1] == 128 else packed.w_res.shape[1] // 2
+            )
         # int8 halves the streamed block size, so the chunk width doubles
         # (fewer grid steps per frame, same VMEM double-buffer budget)
-        cw = min(2048 if quantize else 1024, 4 * cfg.att_rnn_dim)
-        while (4 * cfg.att_rnn_dim) % cw:
+        streamed = 4 * cfg.att_rnn_dim - resident_cols
+        cw = chunk_width or min(2048 if quantize else 1024, streamed)
+        while streamed % cw:
             cw //= 2
         loop = FusedDecodeLoop(
             num_mels=cfg.num_mels, encoded_full_dim=cfg.encoded_full_dim,
             att_rnn_dim=cfg.att_rnn_dim, prenet_dim=cfg.prenet_dim,
             att_dim=cfg.att_dim, max_chars=L, batch=B,
             controls_dim=cfg.controls_dim, dropout=cfg.dropout,
-            interpret=interpret, chunk_width=cw,
+            interpret=interpret, chunk_width=cw, resident_cols=resident_cols,
         )
         mels, gates, aligns, lengths, exec_steps = loop.decode(
             packed, encoded, att_encoded, mask, max_len,
@@ -485,6 +524,28 @@ class Tacotron2:
         mels_post = mels + post
         out = self._mask_outputs(mels, mels_post, gates[..., None], aligns, lengths)
         return out._replace(n_frames=exec_steps)
+
+    # ------------------------------------------------------------------
+    def default_resident_cols(self, quantize: bool) -> int:
+        """VMEM-resident LSTM columns per gate block for the fused decode
+        (hardware-tuned on v5e, PERF.md): keep EVERYTHING except one
+        128-column streamed chunk resident — v5e VMEM comfortably holds the
+        flagship's full ~32 MB bf16 weight stream, and residency is what
+        beats XLA (9.2 vs 33.7 µs/step at B=1). Falls back toward streaming
+        on configs whose resident block would exceed the VMEM budget; tiny
+        test configs keep none."""
+        cfg = self.cfg
+        H4 = 4 * cfg.att_rnn_dim
+        if H4 < 1024:
+            return 0
+        E = -(-max(cfg.controls_dim, 1) // 16) * 16
+        R2 = 2 * cfg.att_rnn_dim + cfg.encoded_full_dim + E
+        dsize = 1 if quantize else (2 if self.policy.compute_dtype == jnp.bfloat16 else 4)
+        budget = 64 * 1024 * 1024
+        rc = H4 - 128
+        while rc > 0 and R2 * 2 * rc * dsize > budget:
+            rc -= 128
+        return max(rc, 0)
 
     # ------------------------------------------------------------------
     def make_packed_decoder(self, params, quantize: bool = False):
@@ -500,7 +561,7 @@ class Tacotron2:
             params, cfg.num_mels, cfg.encoded_full_dim, cfg.att_rnn_dim,
             cfg.rnn_hidden_dim, cfg.prenet_dim, cfg.controls_dim,
             dtype=self.policy.compute_dtype if self.policy.compute_dtype == jnp.bfloat16 else jnp.float32,
-            quantize=quantize,
+            quantize=quantize, resident_cols=self.default_resident_cols(quantize),
         )
         # materialize eagerly so later jit traces capture device-resident
         # constants instead of re-tracing the pack/quantize graph

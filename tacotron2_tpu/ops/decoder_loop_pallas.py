@@ -11,27 +11,34 @@ while_loop around chunks keeps the reference's early-stop-on-gate semantics
 (model/tacotron2.py:319-322) at chunk granularity.
 
 MEASURED OUTCOME (v5e, flagship dims, honest slope-based timing that
-cancels transport latency): bf16 streaming runs ~57 µs/step vs ~33.6 µs for
-the plain XLA ``lax.while_loop`` path — XLA's loop keeps part of the
-weights VMEM-resident, so full re-streaming loses at bf16. The INT8 mode
-(``quantize=True``: per-column weight scales, per-row activation int8,
-native MXU int8xint8 with dequant folded into the chunk-scale multiply,
-CW=2048) halves the bandwidth bill and runs **31.3 µs/step — ~7% faster
-than XLA — at 0.28% relative mel divergence**. The exact-parity default
-stays the XLA path; ``say --quantize-int8`` selects this kernel.
+cancels transport latency — PERF.md): with the FULL-RESIDENCY default
+(``resident_cols = 4H - 128``: v5e VMEM holds the whole ~32 MB bf16 weight
+block, fetched once per 64-frame launch) and the batched MXU attention
+epilogue, the exact bf16 mode runs **9.2 µs/step at batch 1 vs 33.7 µs for
+the XLA while_loop (3.7x), 8.1 vs 28.9 at batch 8, 17.0 vs 36.2 at batch
+32** — this kernel IS the production decode path
+(Tacotron2.forward_infer_fast). The INT8 mode (``quantize=True``:
+per-column weight scales, per-row activation int8, native MXU int8xint8)
+remains the lower-VMEM option (10.2 µs/step, 0.23% rel mel divergence,
+gated < 1% in tests).
 
 Design notes:
-- both LSTM weight matrices are packed into ONE row-aligned stream
-  (attention-LSTM columns first, then decoder-LSTM columns) so the grid is
-  (T_CHUNK, NC) with a strictly monotonic block index map (0, s) — the
-  safest pipelining pattern — and the largest chunk width that still
-  double-buffers in VMEM. Per frame: s < NCA accumulates attention-LSTM
-  gates (prenet at s=0, attention at s=NCA-1); s >= NCA accumulates
-  decoder-LSTM gates (heads at the last step).
-- the location conv (31 taps, 2 chans -> 32 filters) runs as per-batch-row
-  (L,1)x(1,32) outer-product accumulation followed by a (L,32)@(32,A) MXU
-  matmul; everything in the kernel is strictly 2-D (Mosaic has no 2D->3D
-  reshape) with attention weights kept TRANSPOSED (L, B8).
+- both LSTM weight matrices are packed into ONE row-aligned column space
+  [att 4H | dec 4H]. The first ``resident_cols`` columns of EACH gate
+  block live in a launch-resident VMEM block (constant index map); the
+  remainder streams through the grid pipeline with the strictly monotonic
+  block index map (0, s) — non-monotonic revisit patterns hang Mosaic.
+  Per frame: s < NCA accumulates attention-LSTM gates (prenet + resident
+  matmul at s=0, attention at s=NCA-1); s >= NCA accumulates decoder-LSTM
+  gates (resident matmul after the attention epilogue, heads at the last
+  step). Dynamic gate-column slices carry pl.multiple_of(128) hints.
+- the batched location attention runs as three MXU contractions over a
+  lane-flattened (A, B8*LB) layout: per-row-shifted window matrix built by
+  concat-of-broadcasts + 5 log-shift (roll/select) stages, one
+  (64,A)x(64,B8*LB) tap contraction, a kron(I, ones)-expanded query add,
+  and one (A,1)x(A,B8*LB) tanh-energy reduction. Everything stays strictly
+  2-D (Mosaic has no 2D->3D reshape); NOTE ``pltpu.repeat`` TILES rather
+  than element-repeats — block-major builds must use concat.
 - prenet AlwaysDropout masks are precomputed with jax.random OUTSIDE the
   kernel (16 KB/step) so the fused path is bit-comparable with the XLA path
   under the same PRNG key.
@@ -55,9 +62,16 @@ def _round_up(x: int, m: int) -> int:
 
 
 class PackedDecoder(NamedTuple):
-    """Kernel-ready weights (bf16 or int8 stream, concatenated + padded)."""
+    """Kernel-ready weights (bf16 or int8 stream, concatenated + padded).
 
-    w_stream: jnp.ndarray  # (R2, 8H): cols [0,4H) = att LSTM, [4H,8H) = dec LSTM
+    With ``resident_cols`` = RC > 0 the first RC columns of EACH LSTM's 4H
+    gate block live in ``w_res`` — fetched into VMEM once per 64-frame
+    kernel launch (amortized ~free) instead of re-streamed every frame.
+    ``w_stream`` then holds only the remaining (8H - 2*RC) columns: the
+    per-frame HBM bill drops by 2*RC/(8H)."""
+
+    w_stream: jnp.ndarray  # (R2, 8H-2RC): [att cols RC..4H | dec cols RC..4H)
+    w_res: jnp.ndarray  # (R2, 2*max(RC,64)): [att cols 0..RC | dec cols 0..RC)
     w_scales: jnp.ndarray  # (1, 8H) per-column dequant scales (ones if bf16)
     b_stream: jnp.ndarray  # (1, 8H)
     wp1: jnp.ndarray  # (M, P)
@@ -79,7 +93,8 @@ PACK_CALLS = [0]
 def pack_decoder_params(params, num_mels: int, encoded_full_dim: int,
                         att_rnn_dim: int, rnn_hidden_dim: int, prenet_dim: int,
                         controls_dim: int = 0, dtype=jnp.bfloat16,
-                        quantize: bool = False) -> PackedDecoder:
+                        quantize: bool = False,
+                        resident_cols: int = 0) -> PackedDecoder:
     """Repack the model pytree into the kernel's concatenated layouts.
 
     ``quantize=True`` stores the LSTM weight stream as int8 with per-column
@@ -115,12 +130,15 @@ def pack_decoder_params(params, num_mels: int, encoded_full_dim: int,
 
     att = dec["attention"]
     # location conv (31, 2, 32) x location dense (32, A) folded into one
-    # (64, A) matrix applied to the per-position window vector
-    # [att_w taps 0..30 | att_w_cum taps 0..30 | 0 0]
+    # (64, A) matrix. Row layout matches the kernel's log-shift window
+    # build (row r of the window matrix holds the input shifted by r % 32):
+    # rows 0..30 = prev-weights taps, row 31 = 0, rows 32..62 = cumulative-
+    # weights taps, row 63 = 0.
     w_loc = att["location_conv"]["w"]  # (31, 2, 32) WIO
-    w_loc_win = jnp.concatenate([w_loc[:, 0, :], w_loc[:, 1, :]], axis=0)  # (62, 32)
-    w_loc_win = w_loc_win @ att["location_dense"]["w"]  # (62, A)
-    w_loc_win = jnp.pad(w_loc_win, ((0, 2), (0, 0)))  # (64, A)
+    dense = att["location_dense"]["w"]  # (32, A)
+    w_loc_win = jnp.zeros((64, dense.shape[1]), jnp.float32)
+    w_loc_win = w_loc_win.at[0:31].set(w_loc[:, 0, :] @ dense)
+    w_loc_win = w_loc_win.at[32:63].set(w_loc[:, 1, :] @ dense)
 
     # heads: (H + D + E, 128); col 0..M-1 mel, col M gate
     mel_w = dec["mel_out"]["w"]  # (H + D + controls_dim, M)
@@ -141,8 +159,23 @@ def pack_decoder_params(params, num_mels: int, encoded_full_dim: int,
     else:
         w_stream = cast(w_stream)
         w_scales = jnp.ones((1, w_stream.shape[1]), jnp.float32)
+
+    # resident/streamed column split (scales/biases stay in the ORIGINAL
+    # global column space [att 4H | dec 4H]; only the weights split)
+    RC = resident_cols
+    H4 = 4 * att_rnn_dim
+    assert 0 <= RC < H4 and RC % 128 == 0
+    if RC:
+        w_res = jnp.concatenate(
+            [w_stream[:, :RC], w_stream[:, H4 : H4 + RC]], axis=1
+        )
+        w_stream = jnp.concatenate(
+            [w_stream[:, RC:H4], w_stream[:, H4 + RC :]], axis=1
+        )
+    else:  # dummy min-width block; kernel skips the resident matmuls
+        w_res = jnp.zeros((w_stream.shape[0], 128), w_stream.dtype)
     return PackedDecoder(
-        w_stream=w_stream, w_scales=w_scales.astype(jnp.float32),
+        w_stream=w_stream, w_res=w_res, w_scales=w_scales.astype(jnp.float32),
         b_stream=b_stream.astype(jnp.float32),
         wp1=cast(params["prenet"]["fc1"]["w"]),
         wp2=cast(params["prenet"]["fc2"]["w"]),
@@ -156,22 +189,25 @@ def pack_decoder_params(params, num_mels: int, encoded_full_dim: int,
 def _decode_chunk_kernel(
     # streamed unified weights (bf16 or int8)
     w_s,
-    # resident weights
+    # VMEM-resident LSTM columns (fetched once per 64-frame launch)
+    w_res,
+    # resident small weights
     w_scales, b_stream, wp1, wp2, wq, w_loc_win, wv, w_out, b_out,
-    # memory (resident); att weights / valid mask use TRANSPOSED (L, B8)
-    # layout so every attention op stays 2-D (Mosaic has no 2D->3D reshape)
-    encoded, att_enc, valid_t, controls,
+    # memory (resident); batch-major layouts — att weights/valid are (B8, L)
+    # and the attention-memory projection is pre-flattened (A, B8*LB) so the
+    # whole batched location attention runs as two MXU contractions
+    encoded, att_enc_cat, valid, controls, block_expand,
     # per-step dropout scale masks
     dmask1, dmask2,
-    # state in (att_w / att_w_cum transposed (L, B8))
+    # state in (att_w / att_w_cum batch-major (B8, L))
     in_mel, in_att_h, in_att_c, in_ctx, in_att_w, in_att_w_cum, in_rnn_h, in_rnn_c,
-    # outputs (align transposed (T, L, B8))
+    # outputs (align batch-major (T, B8, L))
     out_mel_gate, out_align,
     s_mel, s_att_h, s_att_c, s_ctx, s_att_w, s_att_w_cum, s_rnn_h, s_rnn_c,
     # scratch
-    gates, xh, xh_q, sx, wpad_t, energ_t,
-    *, H: int, D: int, P: int, M: int, L: int, E: int, R1: int,
-    NCA: int, NC: int, CW: int, BA: int,
+    gates, xh, xh_q, sx, wpadP, wpadC,
+    *, H: int, D: int, P: int, M: int, L: int, E: int, R1: int, LB: int,
+    NCA: int, NC: int, CW: int, BA: int, RC: int,
 ):
     t = pl.program_id(0)
     s = pl.program_id(1)  # [0, NCA) = attention phase, [NCA, NC) = decoder phase
@@ -186,6 +222,16 @@ def _decode_chunk_kernel(
         sx[:, :] = jnp.maximum(m, 1e-12) / 127.0
         xh_q[:, :] = jnp.clip(jnp.round(xh[:] / sx[:, :]), -127, 127).astype(jnp.int8)
 
+    def _resident_gates(res_slice, scale_col0):
+        """Gate contribution of the RC resident columns of one LSTM — one
+        big matmul against the launch-resident block (zero HBM traffic)."""
+        if quantized:
+            g32 = jnp.dot(xh_q[:], w_res[:, res_slice], preferred_element_type=jnp.int32)
+            g = g32.astype(f32) * sx[:, :] * w_scales[:, pl.ds(scale_col0, RC)]
+        else:
+            g = jnp.dot(xh[:].astype(dt), w_res[:, res_slice], preferred_element_type=f32)
+        gates[:, :RC] = g + b_stream[:, pl.ds(scale_col0, RC)]
+
     @pl.when(jnp.logical_and(t == 0, s == 0))
     def _init():
         s_mel[:] = in_mel[:]
@@ -196,10 +242,8 @@ def _decode_chunk_kernel(
         s_att_w_cum[:] = in_att_w_cum[:]
         s_rnn_h[:] = in_rnn_h[:]
         s_rnn_c[:] = in_rnn_c[:]
-        # zero the energy scratch once: padded batch columns are never
-        # written (the epilogue loops run over ACTIVE rows only) and
-        # uninitialized scratch could be NaN
-        energ_t[:, :] = jnp.zeros(energ_t.shape, f32)
+        wpadP[:, :] = jnp.zeros(wpadP.shape, f32)
+        wpadC[:, :] = jnp.zeros(wpadC.shape, f32)
 
     # ---------------- phase 0: prenet + attention LSTM + attention --------
     @pl.when(s == 0)
@@ -215,15 +259,22 @@ def _decode_chunk_kernel(
         xh[:, R1:] = jnp.zeros((B8, xh.shape[1] - R1), f32)  # att stream row pad
         if quantized:
             _quantize_xh()
+        if RC:  # att LSTM's resident columns (global cols [0, RC))
+            _resident_gates(slice(0, RC), 0)
 
-    # gate accumulation (both phases stream the unified weight blocks)
+    # gate accumulation (both phases stream the unified weight blocks);
+    # streamed chunk s covers global cols RC + local_c*CW (+4H for dec)
     local_c = jnp.where(s < NCA, s, s - NCA)
+    # RC/CW/4H are static multiples of 128 — hint Mosaic so the dynamic
+    # column slices stay lane-aligned
+    gcol = pl.multiple_of(RC + local_c * CW + jnp.where(s < NCA, 0, 4 * H), 128)
+    lcol = pl.multiple_of(RC + local_c * CW, 128)
     if quantized:
         g32 = jnp.dot(xh_q[:], w_s[:], preferred_element_type=jnp.int32)
-        g = g32.astype(f32) * sx[:, :] * w_scales[:, pl.ds(s * CW, CW)]
+        g = g32.astype(f32) * sx[:, :] * w_scales[:, pl.ds(gcol, CW)]
     else:
         g = jnp.dot(xh[:].astype(dt), w_s[:], preferred_element_type=f32)
-    gates[:, pl.ds(local_c * CW, CW)] = g + b_stream[:, pl.ds(s * CW, CW)]
+    gates[:, pl.ds(lcol, CW)] = g + b_stream[:, pl.ds(gcol, CW)]
 
     @pl.when(s == NCA - 1)
     def _attention():
@@ -236,45 +287,79 @@ def _decode_chunk_kernel(
         s_att_c[:] = c_new
         s_att_h[:] = h_new
 
-        # padded previous/cumulative attention weights, time-major (rows = L)
-        wpad_t[:, :] = jnp.zeros(wpad_t.shape, f32)
-        wpad_t[pl.ds(15, L), :] = s_att_w[:]
-        wpad_t[pl.ds(L + 32 + 15, L), :] = s_att_w_cum[:]
-
-        q = jnp.dot(h_new.astype(dt), wq[:], preferred_element_type=f32)  # (B8, A)
         A = wq.shape[1]
-
-        # per ACTIVE batch row only (BA <= B8; the say path has BA=1, so the
-        # padding rows cost nothing): 31-tap conv as (L,1)x(1,A) outer
-        # products against the folded conv+dense weights. The epilogue is
-        # VPU-op-count bound, so skipping padded rows is an ~B8/BA speedup.
-        for b in range(BA):
-            loc_a = jnp.zeros((L, A), f32)
-            for k in range(31):
-                a0 = wpad_t[pl.ds(k, L), b : b + 1]  # (L, 1)
-                a1 = wpad_t[pl.ds(L + 32 + k, L), b : b + 1]
-                loc_a = loc_a + a0 * w_loc_win[k : k + 1, :]
-                loc_a = loc_a + a1 * w_loc_win[31 + k : 32 + k, :]
-            e_b = jnp.tanh(q[b : b + 1, :] + loc_a + att_enc[b].astype(f32))  # (L, A)
-            energ_t[:, b : b + 1] = jnp.dot(e_b, wv[:], preferred_element_type=f32)
-
-        e = jnp.where(valid_t[:] > 0, energ_t[:], -1e30)  # (L, B8)
-        m = jnp.max(e, axis=0, keepdims=True)
-        w = jnp.exp(e - m)
-        w = w / jnp.sum(w, axis=0, keepdims=True)  # (L, B8)
-
-        # context = w^T @ encoded per ACTIVE batch row (dot_general, no
-        # transpose); padded rows keep their previous (ignored) context
-        rows = []
-        for b in range(BA):
-            rows.append(
-                jax.lax.dot_general(
-                    w[:, b : b + 1], encoded[b].astype(f32),
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                )  # (1, D)
+        # -------- batched location attention: three MXU contractions ------
+        # 1) window build, fully batched: broadcast each batch row to 64
+        #    sublanes (b-major blocks), pick prev/cum channel by
+        #    (row % 64) < 32, then apply a per-row lane shift of (row % 32)
+        #    in 5 log-shift stages (roll + select) —
+        #    W_big[b*64 + r, m] = wpad_{chan(r)}[b, m + r%32].
+        #    (NOT pltpu.repeat: that TILES [b0..bN b0..bN ...].)
+        wpadP[:, 15 : 15 + L] = s_att_w[:]
+        wpadC[:, 15 : 15 + L] = s_att_w_cum[:]
+        rep_p = jnp.concatenate(
+            [jnp.broadcast_to(wpadP[b : b + 1, :], (64, LB)) for b in range(B8)], axis=0
+        )  # (64*B8, LB)
+        rep_c = jnp.concatenate(
+            [jnp.broadcast_to(wpadC[b : b + 1, :], (64, LB)) for b in range(B8)], axis=0
+        )
+        row = jax.lax.broadcasted_iota(jnp.int32, (64 * B8, LB), 0)
+        w_big = jnp.where((row % 64) < 32, rep_p, rep_c)
+        shift = row % 32
+        for j in (16, 8, 4, 2, 1):
+            # left-roll by j == roll(LB - j); pltpu.roll rejects negatives
+            w_big = jnp.where(
+                (shift & j) > 0, pltpu.roll(w_big, LB - j, axis=1), w_big
             )
-        s_ctx[0:BA, :] = jnp.concatenate(rows, axis=0)
+        # 2) relayout to one wide matrix (64, B8*LB): concat of the B8
+        #    64-row blocks along lanes (static sublane slices, one concat)
+        w_cat = jnp.concatenate(
+            [w_big[b * 64 : (b + 1) * 64, :] for b in range(B8)], axis=1
+        ).astype(dt)  # (64, B8*LB)
+        # 3) loc energies for ALL batch rows in ONE matmul (contract taps)
+        loc_cat = jax.lax.dot_general(
+            w_loc_win[:].astype(dt), w_cat,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (A, B8*LB)
+        # 4) query, transposed directly off the matmul (A, B8), then
+        #    block-expanded to (A, B8*LB) via the constant 0/1 expansion
+        #    matrix (kron(I_B8, ones(1, LB))); att_enc arrives pre-flattened
+        qT = jax.lax.dot_general(
+            wq[:].astype(dt), h_new.astype(dt),
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (A, B8)
+        q_cat = jax.lax.dot_general(
+            qT.astype(dt), block_expand[:].astype(dt),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (A, B8*LB)
+        e_cat = jnp.tanh(loc_cat + q_cat + att_enc_cat[:].astype(f32))
+        # 5) tanh-energy reduction for ALL rows in ONE matmul
+        e_flat = jax.lax.dot_general(
+            wv[:].astype(dt), e_cat.astype(dt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (1, B8*LB)
+
+        # back to batch-major rows (cheap static row writes), masked softmax
+        # over the char axis (lanes)
+        energ = jnp.concatenate(
+            [e_flat[:, b * LB : (b + 1) * LB] for b in range(B8)], axis=0
+        )  # (B8, LB)
+        e = jnp.where(valid[:] > 0, energ, -1e30)
+        m = jnp.max(e, axis=1, keepdims=True)
+        w = jnp.exp(e - m)
+        w = (w / jnp.sum(w, axis=1, keepdims=True))[:, :L]  # (B8, L)
+
+        # context per ACTIVE batch row: (1,L)@(L,D) MXU vecmats
+        for b in range(BA):
+            s_ctx[b : b + 1, :] = jax.lax.dot_general(
+                w[b : b + 1, :].astype(dt), encoded[b].astype(dt),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
         s_att_w_cum[:] = s_att_w_cum[:] + w
         s_att_w[:] = w
         out_align[0] = w
@@ -286,6 +371,8 @@ def _decode_chunk_kernel(
         xh[:, H + D + E :] = s_rnn_h[:]
         if quantized:
             _quantize_xh()
+        if RC:  # dec LSTM's resident columns (global cols [4H, 4H+RC))
+            _resident_gates(slice(RC, 2 * RC), 4 * H)
 
     # ---------------- phase 1 epilogue: decoder LSTM + heads ---------------
     @pl.when(s == NC - 1)
@@ -317,24 +404,33 @@ class FusedDecodeLoop:
     def __init__(self, num_mels: int, encoded_full_dim: int, att_rnn_dim: int,
                  prenet_dim: int, att_dim: int, max_chars: int, batch: int = 1,
                  controls_dim: int = 0, dropout: float = 0.5,
-                 interpret: bool = False, chunk_width: Optional[int] = None):
+                 interpret: bool = False, chunk_width: Optional[int] = None,
+                 resident_cols: int = 0):
         self.M = num_mels
         self.D = encoded_full_dim
         self.H = att_rnn_dim
         self.P = prenet_dim
         self.A = att_dim
         self.L = _round_up(max_chars, 128)
+        # lane-block width for the flattened attention layout: holds the
+        # window reads l + (r%32) + pad15 (max L+46) in 128-aligned blocks
+        self.LB = _round_up(self.L + 47, 128)
         self.B = batch
         self.B8 = _round_up(batch, 8)
         self.E = _round_up(max(controls_dim, 1), 16)
         self.controls_dim = controls_dim
         self.dropout = dropout
         self.interpret = interpret
-        # chunk width: as wide as divides 4H, default 1024 (8 grid steps per
-        # frame on the flagship; each block double-buffers in VMEM)
-        self.CW = chunk_width or min(1024, 4 * self.H)
-        assert (4 * self.H) % self.CW == 0
-        self.NCA = 4 * self.H // self.CW
+        # chunk width: as wide as divides the STREAMED column count, default
+        # 1024 (each block double-buffers in VMEM); resident_cols columns of
+        # each LSTM stay in VMEM across the whole 64-frame launch
+        self.RC = resident_cols
+        streamed = 4 * self.H - self.RC
+        assert streamed >= 1 and self.RC % 128 == 0
+        self.CW = chunk_width or min(1024, streamed)
+        while streamed % self.CW:
+            self.CW //= 2
+        self.NCA = streamed // self.CW
         self.NC = 2 * self.NCA
 
     # ------------------------------------------------------------------
@@ -342,15 +438,15 @@ class FusedDecodeLoop:
         H, D, P, M, L, E, B8, A = (
             self.H, self.D, self.P, self.M, self.L, self.E, self.B8, self.A
         )
-        NCA, NC, CW = self.NCA, self.NC, self.CW
+        NCA, NC, CW, LB = self.NCA, self.NC, self.CW, self.LB
         f32 = jnp.float32
         R1 = P + D + H
         R2 = 2 * H + D + E
         assert R2 >= R1, "kernel packs the att rows inside the dec row space"
 
         kernel = functools.partial(
-            _decode_chunk_kernel, H=H, D=D, P=P, M=M, L=L, E=E, R1=R1,
-            NCA=NCA, NC=NC, CW=CW, BA=min(self.B, B8),
+            _decode_chunk_kernel, H=H, D=D, P=P, M=M, L=L, E=E, R1=R1, LB=LB,
+            NCA=NCA, NC=NC, CW=CW, BA=min(self.B, B8), RC=self.RC,
         )
 
         def resident(*shape):
@@ -369,12 +465,13 @@ class FusedDecodeLoop:
                 pltpu.VMEM((B8, R2), f32),  # xh (shared by both phases)
                 pltpu.VMEM((B8, R2), jnp.int8),  # xh_q (int8 mode)
                 pltpu.VMEM((B8, 1), f32),  # sx per-row activation scales
-                pltpu.VMEM((2 * (L + 32), B8), f32),  # wpad_t
-                pltpu.VMEM((L, B8), f32),  # energ_t
+                pltpu.VMEM((B8, LB), f32),  # wpadP (prev att weights, padded)
+                pltpu.VMEM((B8, LB), f32),  # wpadC (cumulative, padded)
             ],
             in_specs=[
                 # strictly monotonic unified weight stream
                 pl.BlockSpec((R2, CW), lambda t, s: (0, s), memory_space=pltpu.VMEM),
+                resident(R2, max(2 * self.RC, 128)),  # w_res (once per launch)
                 resident(1, 8 * H),  # w_scales
                 resident(1, 8 * H),  # b_stream
                 resident(M, P),  # wp1
@@ -385,32 +482,33 @@ class FusedDecodeLoop:
                 resident(H + D + E, 128),  # w_out
                 resident(1, 128),  # b_out
                 resident(B8, L, D),  # encoded
-                resident(B8, L, A),  # att_enc
-                resident(L, B8),  # valid mask (transposed)
+                resident(A, B8 * LB),  # att_enc pre-flattened (A, B8*LB)
+                resident(B8, LB),  # valid mask (batch-major, padded)
                 resident(B8, E),  # controls
+                resident(B8, B8 * LB),  # block_expand = kron(I, ones(1, LB))
                 per_t(1, B8, P),  # dmask1
                 per_t(1, B8, P),  # dmask2
-                # state in (att_w / att_w_cum transposed)
+                # state in (att_w / att_w_cum batch-major)
                 resident(B8, M), resident(B8, H), resident(B8, H), resident(B8, D),
-                resident(L, B8), resident(L, B8), resident(B8, H), resident(B8, H),
+                resident(B8, L), resident(B8, L), resident(B8, H), resident(B8, H),
             ],
             out_specs=[
                 pl.BlockSpec((1, B8, 128), lambda t, s: (t, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, L, B8), lambda t, s: (t, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B8, L), lambda t, s: (t, 0, 0), memory_space=pltpu.VMEM),
                 resident(B8, M), resident(B8, H), resident(B8, H), resident(B8, D),
-                resident(L, B8), resident(L, B8), resident(B8, H), resident(B8, H),
+                resident(B8, L), resident(B8, L), resident(B8, H), resident(B8, H),
             ],
         )
 
         out_shapes = [
             jax.ShapeDtypeStruct((T_CHUNK, B8, 128), f32),
-            jax.ShapeDtypeStruct((T_CHUNK, L, B8), f32),
+            jax.ShapeDtypeStruct((T_CHUNK, B8, L), f32),
             jax.ShapeDtypeStruct((B8, M), f32),
             jax.ShapeDtypeStruct((B8, H), f32),
             jax.ShapeDtypeStruct((B8, H), f32),
             jax.ShapeDtypeStruct((B8, D), f32),
-            jax.ShapeDtypeStruct((L, B8), f32),
-            jax.ShapeDtypeStruct((L, B8), f32),
+            jax.ShapeDtypeStruct((B8, L), f32),
+            jax.ShapeDtypeStruct((B8, L), f32),
             jax.ShapeDtypeStruct((B8, H), f32),
             jax.ShapeDtypeStruct((B8, H), f32),
         ]
@@ -424,7 +522,7 @@ class FusedDecodeLoop:
                 vmem_limit_bytes=int(100 * 1024 * 1024),
             ),
         )(
-            packed.w_stream, packed.w_scales, packed.b_stream,
+            packed.w_stream, packed.w_res, packed.w_scales, packed.b_stream,
             packed.wp1, packed.wp2, packed.wq, packed.w_loc_win,
             packed.wv, packed.w_out, packed.b_out,
             *memory, *dmasks, *state,
@@ -473,26 +571,30 @@ class FusedDecodeLoop:
 
         enc_dtype = jnp.bfloat16 if packed.w_stream.dtype == jnp.int8 else packed.w_stream.dtype
         enc = pad_to(pad_to(encoded, 1, L), 0, B8).astype(enc_dtype)
-        att = pad_to(pad_to(att_encoded, 1, L), 0, B8).astype(f32)
-        valid = pad_to(pad_to((~pad_mask).astype(f32), 1, L), 0, B8)
+        # attention memory pre-flattened to the kernel's (A, B8*LB) layout
+        att = pad_to(pad_to(att_encoded, 1, self.LB), 0, B8).astype(f32)
+        att_cat = jnp.transpose(att, (2, 0, 1)).reshape(att.shape[2], B8 * self.LB)
+        valid = pad_to(pad_to((~pad_mask).astype(f32), 1, self.LB), 0, B8)
         # fully-padded batch rows get one valid slot to keep softmax finite
         valid = valid.at[:, 0].set(jnp.maximum(valid[:, 0], 1e-6))
-        valid = valid.T  # kernel layout (L, B8)
 
         if controls is not None and self.controls_dim:
             ctrl = pad_to(pad_to(controls.astype(f32), 1, self.E), 0, B8)
         else:
             ctrl = jnp.zeros((B8, self.E), f32)
-        memory = (enc, att, valid, ctrl)
+        block_expand = jnp.kron(
+            jnp.eye(B8, dtype=f32), jnp.ones((1, self.LB), f32)
+        )  # (B8, B8*LB)
+        memory = (enc, att_cat, valid, ctrl, block_expand)
 
         n_chunks = -(-max_len // T_CHUNK)
         state = (
             jnp.zeros((B8, M), f32), jnp.zeros((B8, H), f32), jnp.zeros((B8, H), f32),
-            jnp.zeros((B8, D), f32), jnp.zeros((L, B8), f32), jnp.zeros((L, B8), f32),
+            jnp.zeros((B8, D), f32), jnp.zeros((B8, L), f32), jnp.zeros((B8, L), f32),
             jnp.zeros((B8, H), f32), jnp.zeros((B8, H), f32),
         )
         mels_buf = jnp.zeros((n_chunks * T_CHUNK, B8, 128), f32)
-        align_buf = jnp.zeros((n_chunks * T_CHUNK, L, B8), f32)
+        align_buf = jnp.zeros((n_chunks * T_CHUNK, B8, L), f32)
 
         def cond(carry):
             k, done = carry[0], carry[1]
@@ -516,8 +618,8 @@ class FusedDecodeLoop:
         mel_gate = jnp.swapaxes(mels_buf, 0, 1)[: self.B, :max_len]
         mels = mel_gate[:, :, :M]
         gates_raw = mel_gate[:, :, M]
-        # align buffer is (T, L, B8) -> (B, T, Lc)
-        aligns = jnp.transpose(align_buf, (2, 0, 1))[: self.B, :max_len, :Lc]
+        # align buffer is (T, B8, L) -> (B, T, Lc)
+        aligns = jnp.transpose(align_buf, (1, 0, 2))[: self.B, :max_len, :Lc]
 
         # reference stop bookkeeping (tacotron2.py:319-322): per executed
         # step, done |= gate<0 and lengths += gate>=0; the loop breaks right

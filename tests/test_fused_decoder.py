@@ -113,3 +113,34 @@ def test_fused_with_controls_and_speaker():
         controls=jnp.asarray(rng.uniform(-1, 1, size=(2, 5)).astype(np.float32)),
     )
     _compare(model, params, state, chars, lens, 66, jax.random.PRNGKey(4), dropout=False, **kw)
+
+
+def test_fused_resident_split_matches():
+    """resident_cols > 0: part of the weight stream lives in VMEM across
+    the launch; results must match the fully-streamed kernel exactly."""
+    model, params, state, chars, lens = _setup(gate_bias=3.0)
+    rng = jax.random.PRNGKey(11)
+    ref = model.forward_infer(
+        params, state, chars, lens, 70, rng=rng, prenet_dropout=False
+    )
+    for rc in (128, 256):
+        fused = model.forward_infer_fused(
+            params, state, chars, lens, 70, rng=rng, prenet_dropout=False,
+            interpret=True, resident_cols=rc,
+        )
+        assert int(fused.n_frames) == int(ref.n_frames)
+        n = int(ref.n_frames)
+        np.testing.assert_allclose(
+            np.asarray(fused.mels)[:, :n], np.asarray(ref.mels)[:, :n], atol=2e-4
+        )
+
+    # quantized + resident: same budget as the fully-streamed int8 gate
+    q = model.forward_infer_fused(
+        params, state, chars, lens, 70, rng=rng, prenet_dropout=False,
+        interpret=True, quantize=True, resident_cols=256,
+    )
+    n = int(min(q.n_frames, ref.n_frames))
+    a = np.asarray(ref.mels_post)[:, :n]
+    b = np.asarray(q.mels_post)[:, :n]
+    rel = np.abs(a - b).mean() / max(np.abs(a).mean(), 1e-9)
+    assert rel < 0.01, f"int8+resident divergence too large: {rel:.3%}"
