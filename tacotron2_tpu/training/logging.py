@@ -78,17 +78,30 @@ def plot_gate(gate_targets: np.ndarray, gate_outputs: np.ndarray) -> np.ndarray:
 
 class TrainLogger:
     def __init__(self, log_dir: str, name: str):
-        from tensorboardX import SummaryWriter
-        import os
+        # multi-host: only process 0 writes (two processes appending event
+        # files to one dir makes TensorBoard's restart detection purge
+        # steps nondeterministically)
+        import jax
 
-        self.writer = SummaryWriter(os.path.join(log_dir, name))
+        self.enabled = jax.process_index() == 0
+        self.writer = None
+        if self.enabled:
+            import os
+
+            from tensorboardX import SummaryWriter
+
+            self.writer = SummaryWriter(os.path.join(log_dir, name))
 
     def scalars(self, metrics: Dict[str, float], step: int, prefix: str = "") -> None:
+        if not self.enabled:
+            return
         for k, v in metrics.items():
             self.writer.add_scalar(prefix + k, float(v), step)
 
     def validation_images(self, firsts: Dict[str, np.ndarray], mel_len: int, chars_len: int, step: int) -> None:
         """First-val-batch images only, like the reference (batch_idx == 0)."""
+        if not self.enabled:
+            return
         gt = np.asarray(firsts["mel_spectrogram"])[:mel_len].T
         pred = np.asarray(firsts["mel_spectrogram_pred"])[:mel_len].T
         align = np.asarray(firsts["alignment"])[:mel_len, :chars_len].T
@@ -105,6 +118,8 @@ class TrainLogger:
         self.writer.add_image("val_gate", plot_gate(gate_t, gate_p), step, dataformats="HWC")
 
     def histograms(self, params, step: int) -> None:
+        if not self.enabled:
+            return
         import jax
 
         for path_keys, leaf in jax.tree_util.tree_leaves_with_path(params):
@@ -114,7 +129,9 @@ class TrainLogger:
             self.writer.add_histogram(name, np.asarray(leaf), step)
 
     def flush(self) -> None:
-        self.writer.flush()
+        if self.enabled:
+            self.writer.flush()
 
     def close(self) -> None:
-        self.writer.close()
+        if self.enabled:
+            self.writer.close()

@@ -56,6 +56,10 @@ def build_train_step(model: Tacotron2, tx, remat: bool = True, prosody=None):
             controls=batch.get("controls"),
             description_embeddings=batch.get("description_embeddings"),
             remat=remat,
+            # unroll=4 amortizes the backward's dW-accumulator RMW over 4
+            # steps: 151 -> 130 ms/step at B=32/512f on v5e (PERF.md);
+            # forward_teacher falls back to 1 when T isn't divisible
+            scan_unroll=4,
         )
         loss, metrics = tacotron2_loss(
             out.mels, out.mels_post, out.gates, batch["mel"], batch["gate"]
