@@ -251,6 +251,7 @@ class Tacotron2:
         remat: bool = False,
         gst_reference_mel=None,  # defaults to the GT mel when GST is active
         scan_unroll: int = 1,
+        precast_weights: bool = False,
     ) -> Tuple[Tacotron2Output, dict]:
         """Teacher-forced forward: ONE lax.scan over the decode step
         (replaces the reference's Python loop, model/tacotron2.py:276-317).
@@ -283,10 +284,20 @@ class Tacotron2:
         )
         step_keys = jax.random.split(scan_rng, T)
 
+        # precast_weights: cast the decoder weights to the compute dtype
+        # ONCE outside the scan — XLA does NOT hoist loop-invariant casts
+        # out of scan bodies, so without this the training scan streams
+        # f32 (2x the bytes). Cost: the backward's dW accumulator becomes
+        # bf16 too (loss-curve equivalence asserted in
+        # tests/test_training.py::test_precast_bf16_training_equivalence).
+        dec_params = params["decoder"]
+        if precast_weights:
+            dec_params = jax.tree.map(self.policy.cast, dec_params)
+
         def scan_step(carry, xs):
             prev_prenet, key = xs
             mel, gate, new_state = decoder_mod.step(
-                params["decoder"], prev_prenet, carry, encoded, att_encoded, mask,
+                dec_params, prev_prenet, carry, encoded, att_encoded, mask,
                 extra_decoder_in=controls, train=train, rng=key, policy=self.policy,
             )
             return new_state, (mel, gate[:, 0], new_state.att_weights)

@@ -57,9 +57,15 @@ def build_train_step(model: Tacotron2, tx, remat: bool = True, prosody=None):
             description_embeddings=batch.get("description_embeddings"),
             remat=remat,
             # unroll=4 amortizes the backward's dW-accumulator RMW over 4
-            # steps: 151 -> 130 ms/step at B=32/512f on v5e (PERF.md);
-            # forward_teacher falls back to 1 when T isn't divisible
+            # steps; precast streams bf16 weights through the scan (XLA
+            # does not hoist loop-invariant casts out of scan bodies) at
+            # the cost of a bf16 dW accumulator — together 108k -> 143k
+            # frames/s at B=32/512f on v5e (PERF.md). Loss-curve
+            # equivalence vs f32 accumulation is asserted in
+            # tests/test_training.py::test_precast_bf16_training_equivalence;
+            # precast is a no-op under the f32 policy.
             scan_unroll=4,
+            precast_weights=model.policy.compute_dtype == jnp.bfloat16,
         )
         loss, metrics = tacotron2_loss(
             out.mels, out.mels_post, out.gates, batch["mel"], batch["gate"]

@@ -204,3 +204,57 @@ def test_resume_rejects_mismatched_opt_state(tmp_path):
 
     with pytest.raises(ValueError, match="does not match"):
         ckpt_lib.load_train(d, opt_b)
+
+
+def test_precast_bf16_training_equivalence():
+    """bf16-policy training pre-casts the decoder weights outside the scan
+    (halves the streamed bytes; the dW accumulator becomes bf16 — PERF.md).
+    Gate: the loss curve must track the in-scan-cast (f32-accumulated)
+    variant closely over a real optimization run."""
+    from tacotron2_tpu.models.layers import Policy
+    from tacotron2_tpu.training.losses import tacotron2_loss
+
+    cfg = Tacotron2Config(
+        num_chars=12, encoded_dim=32, encoder_kernel_size=5, num_mels=16,
+        prenet_dim=16, att_rnn_dim=32, att_dim=16, rnn_hidden_dim=32,
+        postnet_dim=16, dropout=0.0,
+    )
+    model = Tacotron2(cfg, Policy.from_string("bf16-mixed"))
+    params0, state = model.init(jax.random.PRNGKey(0))
+    batch = _tiny_batch()
+    key = jax.random.PRNGKey(9)
+
+    def curve(precast):
+        tx, _ = make_optimizer(3e-3, 1e-6, scheduler_milestones=[])
+        opt = tx.init(params0)
+
+        @jax.jit
+        def step(params, opt_state, rng):
+            def loss_fn(p):
+                out, _ = model.forward_teacher(
+                    p, state, batch["chars_idx"], batch["chars_len"],
+                    batch["mel"], batch["mel_len"], rng=rng, train=True,
+                    remat=True, precast_weights=precast,
+                )
+                loss, _ = tacotron2_loss(
+                    out.mels, out.mels_post, out.gates, batch["mel"], batch["gate"]
+                )
+                return loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            return loss, optax.apply_updates(params, updates), new_opt
+
+        params, losses = params0, []
+        for i in range(40):
+            loss, params, opt = step(params, opt, key)
+            losses.append(float(loss))
+        return np.asarray(losses)
+
+    base = curve(precast=False)
+    fast = curve(precast=True)
+    assert np.all(np.isfinite(fast))
+    # same optimization trajectory within bf16 noise: final loss within 5%
+    # and no step diverging by more than 10%
+    assert fast[-1] < 0.6 * fast[0]  # it actually optimizes
+    np.testing.assert_allclose(fast[-1], base[-1], rtol=0.05)
+    assert np.max(np.abs(fast - base) / np.abs(base)) < 0.10
