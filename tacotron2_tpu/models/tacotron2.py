@@ -252,6 +252,7 @@ class Tacotron2:
         gst_reference_mel=None,  # defaults to the GT mel when GST is active
         scan_unroll: int = 1,
         precast_weights: bool = False,
+        dw_hoist: bool = False,
     ) -> Tuple[Tacotron2Output, dict]:
         """Teacher-forced forward: ONE lax.scan over the decode step
         (replaces the reference's Python loop, model/tacotron2.py:276-317).
@@ -294,24 +295,35 @@ class Tacotron2:
         if precast_weights:
             dec_params = jax.tree.map(self.policy.cast, dec_params)
 
-        def scan_step(carry, xs):
-            prev_prenet, key = xs
-            mel, gate, new_state = decoder_mod.step(
-                dec_params, prev_prenet, carry, encoded, att_encoded, mask,
-                extra_decoder_in=controls, train=train, rng=key, policy=self.policy,
-            )
-            return new_state, (mel, gate[:, 0], new_state.att_weights)
+        if dw_hoist:
+            # custom-VJP scan: weight gradients hoisted out of the scan
+            # transpose (ops/train_scan.py) — removes the per-step dW
+            # accumulator RMW entirely
+            from tacotron2_tpu.ops.train_scan import run_decode_scan
 
-        if remat:
-            scan_step = jax.checkpoint(scan_step)
-        # scan_unroll > 1 amortizes the backward's dW-accumulator
-        # read-modify-write (the dominant HBM cost of training, PERF.md)
-        # over k steps: XLA fuses the k per-step dW adds into one
-        # accumulator update per unrolled iteration
-        _, (mels, gates, aligns) = jax.lax.scan(
-            scan_step, dec_state, (decoder_in, step_keys),
-            unroll=scan_unroll if T % scan_unroll == 0 else 1,
-        )
+            mels, gates, aligns = run_decode_scan(
+                params["decoder"], dec_state, decoder_in, step_keys,
+                encoded, att_encoded, mask, controls, train, self.policy,
+            )
+        else:
+            def scan_step(carry, xs):
+                prev_prenet, key = xs
+                mel, gate, new_state = decoder_mod.step(
+                    dec_params, prev_prenet, carry, encoded, att_encoded, mask,
+                    extra_decoder_in=controls, train=train, rng=key, policy=self.policy,
+                )
+                return new_state, (mel, gate[:, 0], new_state.att_weights)
+
+            if remat:
+                scan_step = jax.checkpoint(scan_step)
+            # scan_unroll > 1 amortizes the backward's dW-accumulator
+            # read-modify-write (the dominant HBM cost of training, PERF.md)
+            # over k steps: XLA fuses the k per-step dW adds into one
+            # accumulator update per unrolled iteration
+            _, (mels, gates, aligns) = jax.lax.scan(
+                scan_step, dec_state, (decoder_in, step_keys),
+                unroll=scan_unroll if T % scan_unroll == 0 else 1,
+            )
         mels = jnp.swapaxes(mels, 0, 1)  # (B, T, M)
         gates = jnp.swapaxes(gates, 0, 1)[..., None]  # (B, T, 1)
         aligns = jnp.swapaxes(aligns, 0, 1)  # (B, T, L)

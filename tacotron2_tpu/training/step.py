@@ -56,16 +56,13 @@ def build_train_step(model: Tacotron2, tx, remat: bool = True, prosody=None):
             controls=batch.get("controls"),
             description_embeddings=batch.get("description_embeddings"),
             remat=remat,
-            # unroll=4 amortizes the backward's dW-accumulator RMW over 4
-            # steps; precast streams bf16 weights through the scan (XLA
-            # does not hoist loop-invariant casts out of scan bodies) at
-            # the cost of a bf16 dW accumulator — together 108k -> 143k
-            # frames/s at B=32/512f on v5e (PERF.md). Loss-curve
-            # equivalence vs f32 accumulation is asserted in
-            # tests/test_training.py::test_precast_bf16_training_equivalence;
-            # precast is a no-op under the f32 policy.
-            scan_unroll=4,
-            precast_weights=model.policy.compute_dtype == jnp.bfloat16,
+            # hoisted-dW custom-VJP scan (ops/train_scan.py): removes the
+            # scan transpose's per-step weight-gradient accumulator RMW —
+            # 111k -> 152k frames/s at B=32/512f, 209k -> 300k at B=128 on
+            # v5e (PERF.md). Gradients verified against jax.grad of the
+            # standard scan (tests/test_train_scan.py); dW accumulates in
+            # f32 (better than the bf16 scan-transpose accumulator).
+            dw_hoist=True,
         )
         loss, metrics = tacotron2_loss(
             out.mels, out.mels_post, out.gates, batch["mel"], batch["gate"]
