@@ -253,6 +253,8 @@ class Tacotron2:
         scan_unroll: int = 1,
         precast_weights: bool = False,
         dw_hoist: bool = False,
+        pallas_train: Optional[bool] = None,
+        pallas_bwd: Optional[str] = None,  # "pallas" | "xla" (default)
     ) -> Tuple[Tacotron2Output, dict]:
         """Teacher-forced forward: ONE lax.scan over the decode step
         (replaces the reference's Python loop, model/tacotron2.py:276-317).
@@ -298,13 +300,40 @@ class Tacotron2:
         if dw_hoist:
             # custom-VJP scan: weight gradients hoisted out of the scan
             # transpose (ops/train_scan.py) — removes the per-step dW
-            # accumulator RMW entirely
+            # accumulator RMW entirely. ``pallas_train`` (auto on TPU when
+            # the packed weight block fits VMEM) swaps the forward for the
+            # launch-resident Pallas kernel (ops/train_decode_pallas.py) —
+            # the per-frame weight re-streaming disappears; the backward is
+            # the same verified XLA reverse scan either way.
+            from tacotron2_tpu.ops.train_decode_pallas import (
+                pallas_train_supported,
+                run_decode_scan_pallas,
+            )
             from tacotron2_tpu.ops.train_scan import run_decode_scan
 
-            mels, gates, aligns = run_decode_scan(
-                params["decoder"], dec_state, decoder_in, step_keys,
-                encoded, att_encoded, mask, controls, train, self.policy,
-            )
+            on_cpu = jax.default_backend() == "cpu"
+            use_pallas = pallas_train
+            if use_pallas is None:
+                use_pallas = not on_cpu and pallas_train_supported(
+                    cfg, self.policy, B
+                )
+            if use_pallas:
+                if pallas_bwd is None:
+                    # the reverse-scan kernel is compiler-clean up to B=32
+                    # (beyond that its B8-wide relayout fan-out crashes the
+                    # Mosaic compile helper); larger batches keep the XLA
+                    # hoisted reverse scan behind the Pallas forward
+                    pallas_bwd = "pallas" if B <= 32 else "xla"
+                mels, gates, aligns = run_decode_scan_pallas(
+                    params["decoder"], dec_state, decoder_in, step_keys,
+                    encoded, att_encoded, mask, controls, train, self.policy,
+                    interpret=on_cpu, bwd=pallas_bwd,
+                )
+            else:
+                mels, gates, aligns = run_decode_scan(
+                    params["decoder"], dec_state, decoder_in, step_keys,
+                    encoded, att_encoded, mask, controls, train, self.policy,
+                )
         else:
             def scan_step(carry, xs):
                 prev_prenet, key = xs
@@ -511,7 +540,7 @@ class Tacotron2:
         )
         if packed is None:
             if resident_cols is None:
-                resident_cols = self.default_resident_cols(quantize)
+                resident_cols = self.default_resident_cols(quantize, batch=B)
             packed = pack_decoder_params(
                 params, cfg.num_mels, cfg.encoded_full_dim, cfg.att_rnn_dim,
                 cfg.rnn_hidden_dim, cfg.prenet_dim, cfg.controls_dim,
@@ -525,11 +554,15 @@ class Tacotron2:
                 0 if packed.w_res.shape[1] == 128 else packed.w_res.shape[1] // 2
             )
         # int8 halves the streamed block size, so the chunk width doubles
-        # (fewer grid steps per frame, same VMEM double-buffer budget)
+        # (fewer grid steps per frame, same VMEM double-buffer budget);
+        # streamed == 0 (FULL residency) needs no chunk width at all
         streamed = 4 * cfg.att_rnn_dim - resident_cols
-        cw = chunk_width or min(2048 if quantize else 1024, streamed)
-        while streamed % cw:
-            cw //= 2
+        if streamed == 0:
+            cw = None
+        else:
+            cw = chunk_width or min(2048 if quantize else 1024, streamed)
+            while streamed % cw:
+                cw //= 2
         loop = FusedDecodeLoop(
             num_mels=cfg.num_mels, encoded_full_dim=cfg.encoded_full_dim,
             att_rnn_dim=cfg.att_rnn_dim, prenet_dim=cfg.prenet_dim,
@@ -549,13 +582,15 @@ class Tacotron2:
         return out._replace(n_frames=exec_steps)
 
     # ------------------------------------------------------------------
-    def default_resident_cols(self, quantize: bool) -> int:
+    def default_resident_cols(self, quantize: bool, batch: int = 1) -> int:
         """VMEM-resident LSTM columns per gate block for the fused decode
-        (hardware-tuned on v5e, PERF.md): keep EVERYTHING except one
-        128-column streamed chunk resident — v5e VMEM comfortably holds the
-        flagship's full ~32 MB bf16 weight stream, and residency is what
-        beats XLA (9.2 vs 33.7 µs/step at B=1). Falls back toward streaming
-        on configs whose resident block would exceed the VMEM budget; tiny
+        (hardware-tuned on v5e, PERF.md): residency is what beats XLA.
+        Batch-aware split (same-process A/B, tools/full_residency_ab.py):
+        at B=1 keeping ONE streamed 128-col chunk wins (10.9 vs 12.1
+        µs/step — the fetch fully overlaps compute and the split layout
+        pipelines better), while batched serving wins with FULL residency
+        (B=32: 18.5 vs 23.8 µs/step). Falls back toward streaming on
+        configs whose resident block would exceed the VMEM budget; tiny
         test configs keep none."""
         cfg = self.cfg
         H4 = 4 * cfg.att_rnn_dim
@@ -565,7 +600,7 @@ class Tacotron2:
         R2 = 2 * cfg.att_rnn_dim + cfg.encoded_full_dim + E
         dsize = 1 if quantize else (2 if self.policy.compute_dtype == jnp.bfloat16 else 4)
         budget = 64 * 1024 * 1024
-        rc = H4 - 128
+        rc = H4 if batch >= 8 else H4 - 128
         while rc > 0 and R2 * 2 * rc * dsize > budget:
             rc -= 128
         return max(rc, 0)

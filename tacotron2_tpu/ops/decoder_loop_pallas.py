@@ -164,8 +164,14 @@ def pack_decoder_params(params, num_mels: int, encoded_full_dim: int,
     # global column space [att 4H | dec 4H]; only the weights split)
     RC = resident_cols
     H4 = 4 * att_rnn_dim
-    assert 0 <= RC < H4 and RC % 128 == 0
-    if RC:
+    assert 0 <= RC <= H4 and RC % 128 == 0
+    if RC == H4:
+        # FULL residency: the whole weight block lives in VMEM for the
+        # launch; the stream input degenerates to a dummy min-width block
+        # fetched once (constant index map) — zero per-frame HBM traffic
+        w_res = w_stream
+        w_stream = jnp.zeros((w_stream.shape[0], 128), w_res.dtype)
+    elif RC:
         w_res = jnp.concatenate(
             [w_stream[:, :RC], w_stream[:, H4 : H4 + RC]], axis=1
         )
@@ -184,6 +190,97 @@ def pack_decoder_params(params, num_mels: int, encoded_full_dim: int,
         wv=att["v"]["w"].astype(jnp.float32),
         w_out=cast(w_out), b_out=b_out.astype(jnp.float32),
     )
+
+
+def batched_location_attention(
+    h_new, wpadP, wpadC, att_w_prev, att_w_cum_prev,
+    w_loc_win, wq, wv, att_enc_cat, valid, encoded, block_expand, s_ctx,
+    *, B8: int, BA: int, L: int, LB: int, dt,
+):
+    """The batched location-attention epilogue shared by the fused decode
+    kernel and the fused training kernel (ops/train_decode_pallas.py):
+    three MXU contractions over a lane-flattened (A, B8*LB) layout.
+
+    1) window build, fully batched: broadcast each batch row to 64
+       sublanes (b-major blocks), pick prev/cum channel by (row % 64) < 32,
+       then apply a per-row lane shift of (row % 32) in 5 log-shift stages
+       (roll + select) — W_big[b*64 + r, m] = wpad_{chan(r)}[b, m + r%32].
+       (NOT pltpu.repeat: that TILES [b0..bN b0..bN ...].)
+    2) relayout to one wide matrix (64, B8*LB) and contract the taps with
+       the FOLDED location conv+dense in ONE matmul;
+    3) query add via the constant kron(I_B8, ones(1, LB)) block expansion,
+       then the tanh-energy reduction for all rows in one matmul.
+
+    Writes per-row contexts into the ``s_ctx`` ref; returns the new
+    attention weights (B8, L). ``wpadP``/``wpadC`` are (B8, LB) f32 scratch
+    refs (zero outside [15, 15+L))."""
+    f32 = jnp.float32
+    wpadP[:, 15 : 15 + L] = att_w_prev
+    wpadC[:, 15 : 15 + L] = att_w_cum_prev
+    rep_p = jnp.concatenate(
+        [jnp.broadcast_to(wpadP[b : b + 1, :], (64, LB)) for b in range(B8)], axis=0
+    )  # (64*B8, LB)
+    rep_c = jnp.concatenate(
+        [jnp.broadcast_to(wpadC[b : b + 1, :], (64, LB)) for b in range(B8)], axis=0
+    )
+    row = jax.lax.broadcasted_iota(jnp.int32, (64 * B8, LB), 0)
+    w_big = jnp.where((row % 64) < 32, rep_p, rep_c)
+    shift = row % 32
+    for j in (16, 8, 4, 2, 1):
+        # left-roll by j == roll(LB - j); pltpu.roll rejects negatives
+        w_big = jnp.where(
+            (shift & j) > 0, pltpu.roll(w_big, LB - j, axis=1), w_big
+        )
+    # relayout to one wide matrix (64, B8*LB): concat of the B8 64-row
+    # blocks along lanes (static sublane slices, one concat)
+    w_cat = jnp.concatenate(
+        [w_big[b * 64 : (b + 1) * 64, :] for b in range(B8)], axis=1
+    ).astype(dt)  # (64, B8*LB)
+    # loc energies for ALL batch rows in ONE matmul (contract taps)
+    loc_cat = jax.lax.dot_general(
+        w_loc_win[:].astype(dt), w_cat,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )  # (A, B8*LB)
+    # query, transposed directly off the matmul (A, B8), then
+    # block-expanded to (A, B8*LB) via the constant 0/1 expansion matrix
+    # (kron(I_B8, ones(1, LB))); att_enc arrives pre-flattened
+    qT = jax.lax.dot_general(
+        wq[:].astype(dt), h_new.astype(dt),
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )  # (A, B8)
+    q_cat = jax.lax.dot_general(
+        qT.astype(dt), block_expand[:].astype(dt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )  # (A, B8*LB)
+    e_cat = jnp.tanh(loc_cat + q_cat + att_enc_cat[:].astype(f32))
+    # tanh-energy reduction for ALL rows in ONE matmul
+    e_flat = jax.lax.dot_general(
+        wv[:].astype(dt), e_cat.astype(dt),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )  # (1, B8*LB)
+
+    # back to batch-major rows (cheap static row writes), masked softmax
+    # over the char axis (lanes)
+    energ = jnp.concatenate(
+        [e_flat[:, b * LB : (b + 1) * LB] for b in range(B8)], axis=0
+    )  # (B8, LB)
+    e = jnp.where(valid[:] > 0, energ, -1e30)
+    m = jnp.max(e, axis=1, keepdims=True)
+    w = jnp.exp(e - m)
+    w = (w / jnp.sum(w, axis=1, keepdims=True))[:, :L]  # (B8, L)
+
+    # context per ACTIVE batch row: (1,L)@(L,D) MXU vecmats
+    for b in range(BA):
+        s_ctx[b : b + 1, :] = jax.lax.dot_general(
+            w[b : b + 1, :].astype(dt), encoded[b].astype(dt),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+    return w
 
 
 def _decode_chunk_kernel(
@@ -207,7 +304,7 @@ def _decode_chunk_kernel(
     # scratch
     gates, xh, xh_q, sx, wpadP, wpadC,
     *, H: int, D: int, P: int, M: int, L: int, E: int, R1: int, LB: int,
-    NCA: int, NC: int, CW: int, BA: int, RC: int,
+    NCA: int, NC: int, CW: int, BA: int, RC: int, FULL: bool,
 ):
     t = pl.program_id(0)
     s = pl.program_id(1)  # [0, NCA) = attention phase, [NCA, NC) = decoder phase
@@ -263,18 +360,21 @@ def _decode_chunk_kernel(
             _resident_gates(slice(0, RC), 0)
 
     # gate accumulation (both phases stream the unified weight blocks);
-    # streamed chunk s covers global cols RC + local_c*CW (+4H for dec)
-    local_c = jnp.where(s < NCA, s, s - NCA)
-    # RC/CW/4H are static multiples of 128 — hint Mosaic so the dynamic
-    # column slices stay lane-aligned
-    gcol = pl.multiple_of(RC + local_c * CW + jnp.where(s < NCA, 0, 4 * H), 128)
-    lcol = pl.multiple_of(RC + local_c * CW, 128)
-    if quantized:
-        g32 = jnp.dot(xh_q[:], w_s[:], preferred_element_type=jnp.int32)
-        g = g32.astype(f32) * sx[:, :] * w_scales[:, pl.ds(gcol, CW)]
-    else:
-        g = jnp.dot(xh[:].astype(dt), w_s[:], preferred_element_type=f32)
-    gates[:, pl.ds(lcol, CW)] = g + b_stream[:, pl.ds(gcol, CW)]
+    # streamed chunk s covers global cols RC + local_c*CW (+4H for dec).
+    # Under FULL residency there is nothing streamed — the resident matmuls
+    # in _prenet/_attention already wrote all 4H gate columns.
+    if not FULL:
+        local_c = jnp.where(s < NCA, s, s - NCA)
+        # RC/CW/4H are static multiples of 128 — hint Mosaic so the dynamic
+        # column slices stay lane-aligned
+        gcol = pl.multiple_of(RC + local_c * CW + jnp.where(s < NCA, 0, 4 * H), 128)
+        lcol = pl.multiple_of(RC + local_c * CW, 128)
+        if quantized:
+            g32 = jnp.dot(xh_q[:], w_s[:], preferred_element_type=jnp.int32)
+            g = g32.astype(f32) * sx[:, :] * w_scales[:, pl.ds(gcol, CW)]
+        else:
+            g = jnp.dot(xh[:].astype(dt), w_s[:], preferred_element_type=f32)
+        gates[:, pl.ds(lcol, CW)] = g + b_stream[:, pl.ds(gcol, CW)]
 
     @pl.when(s == NCA - 1)
     def _attention():
@@ -287,79 +387,14 @@ def _decode_chunk_kernel(
         s_att_c[:] = c_new
         s_att_h[:] = h_new
 
-        A = wq.shape[1]
-        # -------- batched location attention: three MXU contractions ------
-        # 1) window build, fully batched: broadcast each batch row to 64
-        #    sublanes (b-major blocks), pick prev/cum channel by
-        #    (row % 64) < 32, then apply a per-row lane shift of (row % 32)
-        #    in 5 log-shift stages (roll + select) —
-        #    W_big[b*64 + r, m] = wpad_{chan(r)}[b, m + r%32].
-        #    (NOT pltpu.repeat: that TILES [b0..bN b0..bN ...].)
-        wpadP[:, 15 : 15 + L] = s_att_w[:]
-        wpadC[:, 15 : 15 + L] = s_att_w_cum[:]
-        rep_p = jnp.concatenate(
-            [jnp.broadcast_to(wpadP[b : b + 1, :], (64, LB)) for b in range(B8)], axis=0
-        )  # (64*B8, LB)
-        rep_c = jnp.concatenate(
-            [jnp.broadcast_to(wpadC[b : b + 1, :], (64, LB)) for b in range(B8)], axis=0
+        # batched location attention (shared epilogue, see
+        # batched_location_attention): three MXU contractions over the
+        # lane-flattened (A, B8*LB) layout; writes contexts into s_ctx
+        w = batched_location_attention(
+            h_new, wpadP, wpadC, s_att_w[:], s_att_w_cum[:],
+            w_loc_win, wq, wv, att_enc_cat, valid, encoded, block_expand,
+            s_ctx, B8=B8, BA=BA, L=L, LB=LB, dt=dt,
         )
-        row = jax.lax.broadcasted_iota(jnp.int32, (64 * B8, LB), 0)
-        w_big = jnp.where((row % 64) < 32, rep_p, rep_c)
-        shift = row % 32
-        for j in (16, 8, 4, 2, 1):
-            # left-roll by j == roll(LB - j); pltpu.roll rejects negatives
-            w_big = jnp.where(
-                (shift & j) > 0, pltpu.roll(w_big, LB - j, axis=1), w_big
-            )
-        # 2) relayout to one wide matrix (64, B8*LB): concat of the B8
-        #    64-row blocks along lanes (static sublane slices, one concat)
-        w_cat = jnp.concatenate(
-            [w_big[b * 64 : (b + 1) * 64, :] for b in range(B8)], axis=1
-        ).astype(dt)  # (64, B8*LB)
-        # 3) loc energies for ALL batch rows in ONE matmul (contract taps)
-        loc_cat = jax.lax.dot_general(
-            w_loc_win[:].astype(dt), w_cat,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )  # (A, B8*LB)
-        # 4) query, transposed directly off the matmul (A, B8), then
-        #    block-expanded to (A, B8*LB) via the constant 0/1 expansion
-        #    matrix (kron(I_B8, ones(1, LB))); att_enc arrives pre-flattened
-        qT = jax.lax.dot_general(
-            wq[:].astype(dt), h_new.astype(dt),
-            dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=f32,
-        )  # (A, B8)
-        q_cat = jax.lax.dot_general(
-            qT.astype(dt), block_expand[:].astype(dt),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )  # (A, B8*LB)
-        e_cat = jnp.tanh(loc_cat + q_cat + att_enc_cat[:].astype(f32))
-        # 5) tanh-energy reduction for ALL rows in ONE matmul
-        e_flat = jax.lax.dot_general(
-            wv[:].astype(dt), e_cat.astype(dt),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )  # (1, B8*LB)
-
-        # back to batch-major rows (cheap static row writes), masked softmax
-        # over the char axis (lanes)
-        energ = jnp.concatenate(
-            [e_flat[:, b * LB : (b + 1) * LB] for b in range(B8)], axis=0
-        )  # (B8, LB)
-        e = jnp.where(valid[:] > 0, energ, -1e30)
-        m = jnp.max(e, axis=1, keepdims=True)
-        w = jnp.exp(e - m)
-        w = (w / jnp.sum(w, axis=1, keepdims=True))[:, :L]  # (B8, L)
-
-        # context per ACTIVE batch row: (1,L)@(L,D) MXU vecmats
-        for b in range(BA):
-            s_ctx[b : b + 1, :] = jax.lax.dot_general(
-                w[b : b + 1, :].astype(dt), encoded[b].astype(dt),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
         s_att_w_cum[:] = s_att_w_cum[:] + w
         s_att_w[:] = w
         out_align[0] = w
@@ -426,11 +461,18 @@ class FusedDecodeLoop:
         # each LSTM stay in VMEM across the whole 64-frame launch
         self.RC = resident_cols
         streamed = 4 * self.H - self.RC
-        assert streamed >= 1 and self.RC % 128 == 0
-        self.CW = chunk_width or min(1024, streamed)
-        while streamed % self.CW:
-            self.CW //= 2
-        self.NCA = streamed // self.CW
+        assert streamed >= 0 and self.RC % 128 == 0
+        self.FULL = streamed == 0
+        if self.FULL:
+            # nothing streams: grid (T, 2) — s=0 attention phase, s=1
+            # decoder phase; CW is the dummy stream block's width
+            self.CW = 128
+            self.NCA = 1
+        else:
+            self.CW = chunk_width or min(1024, streamed)
+            while streamed % self.CW:
+                self.CW //= 2
+            self.NCA = streamed // self.CW
         self.NC = 2 * self.NCA
 
     # ------------------------------------------------------------------
@@ -447,6 +489,7 @@ class FusedDecodeLoop:
         kernel = functools.partial(
             _decode_chunk_kernel, H=H, D=D, P=P, M=M, L=L, E=E, R1=R1, LB=LB,
             NCA=NCA, NC=NC, CW=CW, BA=min(self.B, B8), RC=self.RC,
+            FULL=self.FULL,
         )
 
         def resident(*shape):
@@ -469,8 +512,13 @@ class FusedDecodeLoop:
                 pltpu.VMEM((B8, LB), f32),  # wpadC (cumulative, padded)
             ],
             in_specs=[
-                # strictly monotonic unified weight stream
-                pl.BlockSpec((R2, CW), lambda t, s: (0, s), memory_space=pltpu.VMEM),
+                # strictly monotonic unified weight stream (constant-index
+                # dummy under FULL residency — fetched once per launch)
+                pl.BlockSpec(
+                    (R2, CW),
+                    (lambda t, s: (0, 0)) if self.FULL else (lambda t, s: (0, s)),
+                    memory_space=pltpu.VMEM,
+                ),
                 resident(R2, max(2 * self.RC, 128)),  # w_res (once per launch)
                 resident(1, 8 * H),  # w_scales
                 resident(1, 8 * H),  # b_stream
@@ -513,20 +561,24 @@ class FusedDecodeLoop:
             jax.ShapeDtypeStruct((B8, H), f32),
         ]
 
-        return pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=out_shapes,
-            interpret=self.interpret,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=int(100 * 1024 * 1024),
-            ),
-        )(
-            packed.w_stream, packed.w_res, packed.w_scales, packed.b_stream,
-            packed.wp1, packed.wp2, packed.wq, packed.w_loc_win,
-            packed.wv, packed.w_out, packed.b_out,
-            *memory, *dmasks, *state,
-        )
+        # Mosaic rejects dots traced under jax_default_matmul_precision=
+        # "high" (set by the train driver for torch parity); pin DEFAULT
+        # inside the kernel — a no-op for the bf16/int8 operands used here
+        with jax.default_matmul_precision("default"):
+            return pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=out_shapes,
+                interpret=self.interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=int(100 * 1024 * 1024),
+                ),
+            )(
+                packed.w_stream, packed.w_res, packed.w_scales, packed.b_stream,
+                packed.wp1, packed.wp2, packed.wq, packed.w_loc_win,
+                packed.wv, packed.w_out, packed.b_out,
+                *memory, *dmasks, *state,
+            )
 
     # ------------------------------------------------------------------
     def _prenet_masks(self, rng, t0: jnp.ndarray, prenet_dropout: bool):

@@ -233,15 +233,29 @@ def _vjp_bwd(policy, train, saved, cots):
         )
 
         g2 = _gates(xh2_c, w2_c, small["b2"])
-        fB = lambda sm, g, cr, ctx: _phase_b(sm, g, cr, ctx, dm2, controls, policy)
-        (mel, gate, rnn_h_d, c_rnn), pullB = jax.vjp(
-            fB, small, g2, c_rnn_prev, context
-        )
+        # controls must be a DIFFERENTIATED vjp arg (not a closure): the
+        # mel head consumes it directly, and closing over it silently
+        # dropped that term from d_controls (latent — controls is a batch
+        # input today — but wrong; caught by the Pallas-bwd cross-check,
+        # tests/test_train_pallas.py::test_pallas_bwd_modes_agree)
+        if controls is None:
+            fB = lambda sm, g, cr, ctx: _phase_b(sm, g, cr, ctx, dm2, None, policy)
+            (mel, gate, rnn_h_d, c_rnn), pullB = jax.vjp(
+                fB, small, g2, c_rnn_prev, context
+            )
+        else:
+            fB = lambda sm, g, cr, ctx, ctl: _phase_b(sm, g, cr, ctx, dm2, ctl, policy)
+            (mel, gate, rnn_h_d, c_rnn), pullB = jax.vjp(
+                fB, small, g2, c_rnn_prev, context, controls
+            )
 
         # ---- pull through phase B ------------------------------------
-        dsmB, dg2, dc_rnn_prev, d_ctx_B = pullB(
-            (dmel_t, dgate_t[:, None], d_rnn_h, d_rnn_c)
-        )
+        pulled_B = pullB((dmel_t, dgate_t[:, None], d_rnn_h, d_rnn_c))
+        if controls is None:
+            dsmB, dg2, dc_rnn_prev, d_ctx_B = pulled_B
+            d_ctrl_head = None
+        else:
+            dsmB, dg2, dc_rnn_prev, d_ctx_B, d_ctrl_head = pulled_B
         # dg2 also carries the bias cotangent; xh2 cotangent via W2.
         # dot_general contracting W's dim 1 directly — an explicit .T would
         # materialize a second (transposed) weight copy and double the
@@ -291,7 +305,7 @@ def _vjp_bwd(policy, train, saved, cots):
         d_small_acc["b2"] = d_small_acc["b2"] + jnp.sum(dg2, axis=0)
         d_attenc_acc = d_attenc_acc + d_attenc_t
         if controls is not None:
-            d_ctrl_acc = d_ctrl_acc + d_ctrl_t
+            d_ctrl_acc = d_ctrl_acc + d_ctrl_t + d_ctrl_head
 
         new_carry = (
             d_att_h_prev, dc_att_prev, d_ctx_prev, dw_prev, dcum_prev,

@@ -123,7 +123,9 @@ def test_fused_resident_split_matches():
     ref = model.forward_infer(
         params, state, chars, lens, 70, rng=rng, prenet_dropout=False
     )
-    for rc in (128, 256):
+    # rc == 4H (512 here) is the FULL-residency production mode: nothing
+    # streams per frame, grid degenerates to (T, 2)
+    for rc in (128, 256, 512):
         fused = model.forward_infer_fused(
             params, state, chars, lens, 70, rng=rng, prenet_dropout=False,
             interpret=True, resident_cols=rc,
@@ -134,13 +136,14 @@ def test_fused_resident_split_matches():
             np.asarray(fused.mels)[:, :n], np.asarray(ref.mels)[:, :n], atol=2e-4
         )
 
-    # quantized + resident: same budget as the fully-streamed int8 gate
-    q = model.forward_infer_fused(
-        params, state, chars, lens, 70, rng=rng, prenet_dropout=False,
-        interpret=True, quantize=True, resident_cols=256,
-    )
-    n = int(min(q.n_frames, ref.n_frames))
-    a = np.asarray(ref.mels_post)[:, :n]
-    b = np.asarray(q.mels_post)[:, :n]
-    rel = np.abs(a - b).mean() / max(np.abs(a).mean(), 1e-9)
-    assert rel < 0.01, f"int8+resident divergence too large: {rel:.3%}"
+    # quantized + resident (incl. FULL): same budget as the streamed int8 gate
+    for rc in (256, 512):
+        q = model.forward_infer_fused(
+            params, state, chars, lens, 70, rng=rng, prenet_dropout=False,
+            interpret=True, quantize=True, resident_cols=rc,
+        )
+        n = int(min(q.n_frames, ref.n_frames))
+        a = np.asarray(ref.mels_post)[:, :n]
+        b = np.asarray(q.mels_post)[:, :n]
+        rel = np.abs(a - b).mean() / max(np.abs(a).mean(), 1e-9)
+        assert rel < 0.01, f"int8+resident(rc={rc}) divergence too large: {rel:.3%}"

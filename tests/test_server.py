@@ -77,12 +77,19 @@ def test_server_subprocess_mode(tiny_server_setup, tmp_path, monkeypatch):
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
 
     async def run():
+        from aiohttp import ClientTimeout
         from aiohttp.test_utils import TestClient, TestServer
 
         from run.server import make_app
 
         app = make_app(tiny_server_setup, mode="subprocess")
-        async with TestClient(TestServer(app)) as client:
+        # the child re-compiles the whole say pipeline; on a saturated
+        # 1-core host that can exceed aiohttp's default 5-minute client
+        # timeout (observed flaking when the suite runs concurrently with
+        # hardware benches)
+        async with TestClient(
+            TestServer(app), timeout=ClientTimeout(total=1200)
+        ) as client:
             resp = await client.post(
                 "/generate", json={"text": "subprocess mode", "model": 0, "seed": 1}
             )
