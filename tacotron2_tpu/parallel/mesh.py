@@ -139,5 +139,12 @@ def make_sharded_train_step(model, tx, mesh: Mesh, donate: bool = True, prosody=
     training/step.py:build_train_step)."""
     from tacotron2_tpu.training.step import build_train_step
 
-    step = build_train_step(model, tx, prosody=prosody)
+    # >1 device: force the XLA hoisted scan — GSPMD cannot partition the
+    # Pallas training kernels, and the XLA path's batch axis shards
+    # cleanly (grad psums over ICI). A 1-device mesh keeps the Pallas
+    # auto-dispatch (the common single-chip case).
+    step = build_train_step(
+        model, tx, prosody=prosody,
+        pallas_train=False if mesh.size > 1 else None,
+    )
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -24,7 +24,8 @@ from tacotron2_tpu.models.tacotron2 import Tacotron2
 from tacotron2_tpu.training.losses import prosody_style_loss, tacotron2_loss
 
 
-def build_train_step(model: Tacotron2, tx, remat: bool = True, prosody=None):
+def build_train_step(model: Tacotron2, tx, remat: bool = True, prosody=None,
+                     pallas_train=None):
     """Pure (un-jitted) train step: (train_state, batch, rng) ->
     (train_state, metrics). Shared by the single-chip and mesh-sharded paths.
 
@@ -58,11 +59,17 @@ def build_train_step(model: Tacotron2, tx, remat: bool = True, prosody=None):
             remat=remat,
             # hoisted-dW custom-VJP scan (ops/train_scan.py): removes the
             # scan transpose's per-step weight-gradient accumulator RMW —
-            # 111k -> 152k frames/s at B=32/512f, 209k -> 300k at B=128 on
-            # v5e (PERF.md). Gradients verified against jax.grad of the
-            # standard scan (tests/test_train_scan.py); dW accumulates in
-            # f32 (better than the bf16 scan-transpose accumulator).
+            # and on TPU (bf16, B<=64) the forward/backward run as
+            # launch-resident Pallas kernels (ops/train_decode_pallas.py,
+            # 109.9 -> 76.3 ms/step at B=32/512f, PERF.md). Gradients
+            # verified against jax.grad of the standard scan
+            # (tests/test_train_scan.py, tests/test_train_pallas.py).
+            # ``pallas_train=False`` is forced by the sharded builder when
+            # the mesh has >1 device: GSPMD has no partitioning rule for
+            # pallas_call, so the XLA hoisted scan (which partitions
+            # cleanly over the batch axis) is the multi-chip path.
             dw_hoist=True,
+            pallas_train=pallas_train,
         )
         loss, metrics = tacotron2_loss(
             out.mels, out.mels_post, out.gates, batch["mel"], batch["gate"]
