@@ -552,24 +552,38 @@ def _teacher_bwd_kernel(
     dm1 = dm1_t[0]
     h_att_d = o1 * tc1 * dm1
 
-    # attention recompute, keeping the intermediates the pull needs
-    # (same math as batched_location_attention)
+    # attention recompute, keeping the intermediates the pull needs.
+    # The window matrix is built DIRECTLY in the flat (64, NL) layout —
+    # no (64*B8, LB) intermediate and no B8-part relayout concats (their
+    # fan-out is what breaks the B=64 compile): each 64-row stripe of
+    # block b holds wpad[b] (placed block-diagonally via repeat-tile ×
+    # block-mask, collapsed by a ones-contraction, tiled to 64 rows), and
+    # the per-row left-rolls are LEAK-SAFE across block seams because the
+    # ≤31 lanes that cross a boundary land in / come from the zero pad
+    # and masked (≥ L) tail lanes.
     wpadP[:, 15 : 15 + L] = w_prev_t[0]
     wpadC[:, 15 : 15 + L] = cum_prev_t[0]
-    rep_p = jnp.concatenate(
-        [jnp.broadcast_to(wpadP[b : b + 1, :], (64, LB)) for b in range(B8)], axis=0
+    ones_b = jnp.ones((1, B8), f32)
+    sP = pltpu.repeat(wpadP[:], B8, axis=1) * block_expand[:]  # (B8, NL)
+    sC = pltpu.repeat(wpadC[:], B8, axis=1) * block_expand[:]
+    pP = jax.lax.dot_general(
+        ones_b, sP, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )  # (1, NL)
+    pC = jax.lax.dot_general(
+        ones_b, sC, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
     )
-    rep_c = jnp.concatenate(
-        [jnp.broadcast_to(wpadC[b : b + 1, :], (64, LB)) for b in range(B8)], axis=0
-    )
-    row = jax.lax.broadcasted_iota(jnp.int32, (64 * B8, LB), 0)
-    w_big = jnp.where((row % 64) < 32, rep_p, rep_c)
+    row = jax.lax.broadcasted_iota(jnp.int32, (64, NL), 0)
+    w_rows = jnp.where(
+        row < 32, pltpu.repeat(pP, 64, axis=0), pltpu.repeat(pC, 64, axis=0)
+    )  # (64, NL)
     shift = row % 32
     for j in (16, 8, 4, 2, 1):
-        w_big = jnp.where((shift & j) > 0, pltpu.roll(w_big, LB - j, axis=1), w_big)
-    w_cat = jnp.concatenate(
-        [w_big[b * 64 : (b + 1) * 64, :] for b in range(B8)], axis=1
-    ).astype(dt)  # (64, NL)
+        w_rows = jnp.where(
+            (shift & j) > 0, pltpu.roll(w_rows, NL - j, axis=1), w_rows
+        )
+    w_cat = w_rows.astype(dt)  # (64, NL)
     loc_cat = jax.lax.dot_general(
         w_loc_win[:].astype(dt), w_cat,
         dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=f32,
@@ -670,21 +684,18 @@ def _teacher_bwd_kernel(
     if level <= 40:  # bisection: + softmax/energy pull, small param grads
         return
     # window backward: d_win = w_loc_win @ de_pre, RIGHT-roll each tap row
-    # by its shift, then channel-sum the 64-row blocks via tap selectors
+    # by its shift (directly in the flat (64, NL) layout — seam-crossing
+    # lanes are zeros: de_pre is zero on each block's masked ≥ L tail),
+    # then channel-sum the tap rows via selector contractions
     d_win_cat = jax.lax.dot_general(
         w_loc_win[:].astype(f32), de_pre,
         dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=f32,
     )  # (64, NL)
-    d_win_big = jnp.concatenate(
-        [d_win_cat[:, b * LB : (b + 1) * LB] for b in range(B8)], axis=0
-    )  # (64*B8, LB)
     for j in (16, 8, 4, 2, 1):
-        d_win_big = jnp.where(
-            (shift & j) > 0, pltpu.roll(d_win_big, j, axis=1), d_win_big
+        d_win_cat = jnp.where(
+            (shift & j) > 0, pltpu.roll(d_win_cat, j, axis=1), d_win_cat
         )
-    rolled_cat = jnp.concatenate(
-        [d_win_big[b * 64 : (b + 1) * 64, :] for b in range(B8)], axis=1
-    )  # (64, NL)
+    rolled_cat = d_win_cat  # (64, NL)
     r64 = jax.lax.broadcasted_iota(jnp.int32, (1, 64), 1)
     selP = (r64 < 31).astype(f32)
     selC = jnp.logical_and(r64 >= 32, r64 < 63).astype(f32)
@@ -792,16 +803,27 @@ def _bwd_impl_pallas(policy, train, interpret, saved, cots):
     def resident(*shape):
         return pl.BlockSpec(shape, lambda t: (0,) * len(shape), memory_space=pltpu.VMEM)
 
-    # time is reversed by FLIPPING the stacks outside the kernel (plain
-    # monotonic (t, 0, ...) index maps inside): reverse index maps
-    # (T-1-t, ...) crash the Mosaic compile helper
-    def rev_t(*shape):
-        return pl.BlockSpec(
-            (1,) + shape, lambda t: (t,) + (0,) * len(shape),
-            memory_space=pltpu.VMEM,
-        )
+    # time reversal: either reverse index maps (T-1-t, ...) inside the
+    # kernel (default — saves 14 stack flips per step), or outside flips
+    # with monotonic maps (T2T_BWD_FLIP=1; kept as the triage fallback
+    # from the compile-crash bisection, where flips were exonerated)
+    use_flip = os.environ.get("T2T_BWD_FLIP") == "1"
+    if use_flip:
+        def rev_t(*shape):
+            return pl.BlockSpec(
+                (1,) + shape, lambda t: (t,) + (0,) * len(shape),
+                memory_space=pltpu.VMEM,
+            )
 
-    flip = lambda x: jnp.flip(x, axis=0)
+        flip = lambda x: jnp.flip(x, axis=0)
+    else:
+        def rev_t(*shape):
+            return pl.BlockSpec(
+                (1,) + shape, lambda t: (T - 1 - t,) + (0,) * len(shape),
+                memory_space=pltpu.VMEM,
+            )
+
+        flip = lambda x: x
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
