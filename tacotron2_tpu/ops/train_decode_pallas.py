@@ -438,6 +438,29 @@ def run_decode_scan_pallas(
     )
 
 
+def _dot_over_lanes(lhs, rhs, chunk: int = 8192):
+    """dot_general contracting the LANE (last) dim of both operands,
+    statically chunked at 8192 lanes (a no-op at B8<=32 where NL=8192).
+    Tried as a fix for the B8=64 compile-helper crash in the pull section
+    — it did NOT resolve it (the kernel stays gated to B<=32, see
+    pallas_train dispatch); kept because it is cost-free and bounds the
+    single-contraction size."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    NLd = lhs.shape[1]
+    acc = None
+    for c0 in range(0, NLd, chunk):
+        c1 = min(c0 + chunk, NLd)
+        part = _jax.lax.dot_general(
+            lhs[:, c0:c1], rhs[:, c0:c1],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=_jnp.float32,
+        )
+        acc = part if acc is None else acc + part
+    return acc
+
+
 def _teacher_bwd_kernel(
     # per-t inputs (time already REVERSED by the caller's flips)
     xh1_t, xh2_t, c_att_prev_t, c_rnn_prev_t, w_prev_t, cum_prev_t,
@@ -657,16 +680,10 @@ def _teacher_bwd_kernel(
     if level <= 34:  # bisection: + d_attenc accumulate
         return
     # d_wv per-batch columns (A, B8); the epilogue sums columns 0..B8
-    o_d_wv[:, :] = o_d_wv[:, :] + jax.lax.dot_general(
-        t_cat, S,
-        dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=f32,
-    )
+    o_d_wv[:, :] = o_d_wv[:, :] + _dot_over_lanes(t_cat, S)
     if level <= 35:  # bisection: + d_wv accumulate
         return
-    dqT = jax.lax.dot_general(
-        de_pre, block_expand[:],
-        dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=f32,
-    )  # (A, B8)
+    dqT = _dot_over_lanes(de_pre, block_expand[:])  # (A, B8)
     d_h_from_q = jax.lax.dot_general(
         dqT, wq_T[:].astype(f32),
         dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=f32,
@@ -677,9 +694,8 @@ def _teacher_bwd_kernel(
         dqT, h_att_d,
         dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=f32,
     )  # (A, H)
-    o_d_wlw[:, :] = o_d_wlw[:, :] + jax.lax.dot_general(
-        w_cat.astype(f32), de_pre,
-        dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=f32,
+    o_d_wlw[:, :] = o_d_wlw[:, :] + _dot_over_lanes(
+        w_cat.astype(f32), de_pre
     )  # (64, A)
     if level <= 40:  # bisection: + softmax/energy pull, small param grads
         return
