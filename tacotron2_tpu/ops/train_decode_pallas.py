@@ -465,10 +465,10 @@ def _teacher_bwd_kernel(
     # per-t inputs (time already REVERSED by the caller's flips)
     xh1_t, xh2_t, c_att_prev_t, c_rnn_prev_t, w_prev_t, cum_prev_t,
     dm1_t, dm2_t, d_mel_gate_t, d_align_t,
-    # resident weights / memory (wq_T and enc_T are transposed copies so
-    # every contraction uses a Mosaic-proven pattern — "both-transposed"
+    # resident weights / memory (wq_T / wv_T / enc_T are transposed copies
+    # so every contraction uses a Mosaic-proven pattern — "both-transposed"
     # dot_generals crash the compile helper)
-    w_res, b_stream, wq, wq_T, w_loc_win, wv, w_out,
+    w_res, b_stream, wq, wq_T, w_loc_win, wv, wv_T, w_out,
     encoded_T, att_enc_cat, valid, block_expand,
     # per-t outputs (reverse maps -> stacks come out in forward time order)
     out_dg1, out_dg2, out_dprenet, out_dctx,
@@ -668,7 +668,8 @@ def _teacher_bwd_kernel(
         wv_cols, S,
         dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=f32,
     )  # (A, NL) == wv ⊗ de_flat
-    de_pre = wv_de * (1.0 - t_cat * t_cat)
+    fac = 1.0 - t_cat * t_cat  # tanh'
+    de_pre = wv_de * fac
     if level <= 33:  # bisection: + block-diagonal outer product
         return
     acc_attenc[:, :] = acc_attenc[:, :] + de_pre
@@ -683,17 +684,35 @@ def _teacher_bwd_kernel(
     o_d_wv[:, :] = o_d_wv[:, :] + _dot_over_lanes(t_cat, S)
     if level <= 35:  # bisection: + d_wv accumulate
         return
-    dqT = _dot_over_lanes(de_pre, block_expand[:])  # (A, B8)
+    # dq[b, a] = wv[a] * Σ_l de[b, l] * fac[a, b*LB+l]: contract S with
+    # tanh' over lanes (the SAME op shape as the d_wv dot above, which
+    # compiles at B8=64 — the original de_pre ⋅ block_expand formulation
+    # crashed the compile helper there), then scale rows by wv^T
+    dq = _dot_over_lanes(S, fac) * pltpu.repeat(
+        wv_T[:].astype(f32), B8, axis=0
+    )  # (B8, A)
+    if level <= 36:  # bisection: + dq (probe write defeats DCE)
+        o_d_wq[:, :] = o_d_wq[:, :] + jax.lax.dot_general(
+            dq, jnp.ones((B8, H), f32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        return
     d_h_from_q = jax.lax.dot_general(
-        dqT, wq_T[:].astype(f32),
-        dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=f32,
-    )  # (B8, H)
-    # d_wq accumulated TRANSPOSED as (A, H) — ((1,),(0,)) is the proven
-    # contraction; the XLA epilogue transposes once at the end
-    o_d_wq[:, :] = o_d_wq[:, :] + jax.lax.dot_general(
-        dqT, h_att_d,
+        dq, wq_T[:].astype(f32),
         dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=f32,
+    )  # (B8, H)
+    if level <= 37:  # bisection: + d_h_from_q (probe write defeats DCE)
+        o_d_rnn_h[:, :] = o_d_rnn_h[:] + d_h_from_q
+        return
+    # d_wq accumulated TRANSPOSED as (A, H) — contraction over the batch
+    # rows is the proven class; the XLA epilogue transposes once
+    o_d_wq[:, :] = o_d_wq[:, :] + jax.lax.dot_general(
+        dq, h_att_d,
+        dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=f32,
     )  # (A, H)
+    if level <= 38:  # bisection: + d_wq accumulate
+        return
     o_d_wlw[:, :] = o_d_wlw[:, :] + _dot_over_lanes(
         w_cat.astype(f32), de_pre
     )  # (64, A)
@@ -858,6 +877,7 @@ def _bwd_impl_pallas(policy, train, interpret, saved, cots):
             rev_t(B8, 128), rev_t(B8, L),
             resident(R2k, 8 * H), resident(1, 8 * H),
             resident(H, A), resident(A, H), resident(64, A), resident(A, 1),
+            resident(1, A),
             resident(R3, 128),
             resident(B8, D, L), resident(A, B8 * LB), resident(B8, LB),
             resident(B8, B8 * LB),
@@ -907,7 +927,7 @@ def _bwd_impl_pallas(policy, train, interpret, saved, cots):
             flip(dm1), flip(dm2), flip(d_mel_gate), flip(d_align),
             packed["w_res"], packed["b_stream"], packed["wq"],
             jnp.swapaxes(packed["wq"], 0, 1), packed["w_loc_win"],
-            packed["wv"], packed["w_out"],
+            packed["wv"], jnp.swapaxes(packed["wv"], 0, 1), packed["w_out"],
             jnp.swapaxes(enc, 1, 2), att_cat, valid, block_expand,
         )
     outs = [flip(o) for o in outs[:4]] + list(outs[4:])
