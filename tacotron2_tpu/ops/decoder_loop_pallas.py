@@ -465,7 +465,10 @@ class FusedDecodeLoop:
         self.FULL = streamed == 0
         if self.FULL:
             # nothing streams: grid (T, 2) — s=0 attention phase, s=1
-            # decoder phase; CW is the dummy stream block's width
+            # decoder phase; CW is the dummy stream block's width.
+            # (A single-grid-step-per-frame variant (NC=1) was measured
+            # SLOWER — 13.9 vs 12.1 µs at B=1 — the 2-step grid pipelines
+            # better; keep NC=2.)
             self.CW = 128
             self.NCA = 1
         else:
