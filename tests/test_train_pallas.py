@@ -193,6 +193,50 @@ def test_pallas_bwd_modes_agree():
             )
 
 
+def test_pallas_grad_with_gst():
+    """GST widens encoded_full_dim (style concat) — the kernels derive D
+    from the actual arrays; gradients must still match the plain scan."""
+    model, params, state, batch = _setup(
+        gst=True, gst_token_embedding_size=16
+    )
+    key = jax.random.PRNGKey(17)
+    g_std = jax.grad(_loss_fn(model, state, batch, pallas_train=False))(
+        params, key
+    )
+    g_p = jax.grad(_loss_fn(model, state, batch, pallas_train=True))(
+        params, key
+    )
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(g_std), jax.tree.leaves(g_p)
+    ):
+        scale = max(float(np.abs(np.asarray(a)).max()), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=3e-5 * scale + 1e-7,
+            err_msg=f"gst grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_batch_aware_residency_default():
+    """Flagship dims: B=1 keeps one streamed chunk (faster, measured),
+    B>=8 goes FULL residency; tiny configs keep none."""
+    from tacotron2_tpu.models.tacotron2 import Tacotron2, Tacotron2Config
+    from tacotron2_tpu.models.layers import Policy
+
+    flagship = Tacotron2(
+        Tacotron2Config(
+            num_chars=39, encoded_dim=512, encoder_kernel_size=5, num_mels=80,
+            prenet_dim=256, att_rnn_dim=1024, att_dim=128, rnn_hidden_dim=1024,
+            postnet_dim=512, dropout=0.5,
+        ),
+        Policy.from_string("bf16-mixed"),
+    )
+    assert flagship.default_resident_cols(False, batch=1) == 4 * 1024 - 128
+    assert flagship.default_resident_cols(False, batch=8) == 4 * 1024
+    assert flagship.default_resident_cols(False, batch=32) == 4 * 1024
+    tiny = Tacotron2(Tacotron2Config(**CFG))
+    assert tiny.default_resident_cols(False, batch=32) == 0
+
+
 def test_pallas_bf16_policy_trains():
     """Under the bf16 policy the Pallas training path runs, grads are
     finite, and a few optimization steps reduce the loss."""
