@@ -46,13 +46,19 @@ def main():
             "gate": jnp.ones((B, FRAMES, 1), jnp.float32),
         }
 
-        modes = [("xla ", False, None), ("plas", True, "xla"),
-                 ("pbwd", True, "pallas")]
+        # fwd* modes time the forward only (no grad/optimizer) — for
+        # decomposing where the step time goes
+        modes = [("xla ", False, None, True), ("plas", True, "xla", True),
+                 ("pbwd", True, "pallas", True),
+                 ("fwdX", False, None, False), ("fwdP", True, "xla", False)]
         if os.environ.get("BENCH_MODES"):
-            want = os.environ["BENCH_MODES"].split(",")
+            want = [w.strip() for w in os.environ["BENCH_MODES"].split(",")]
             modes = [m for m in modes if m[0].strip() in want]
-        for label, pallas, bwd in modes:
-            def step(params, opt_state, batch, rng, pal=pallas, bw=bwd):
+        else:
+            modes = [m for m in modes if m[3]]
+        for label, pallas, bwd, with_grad in modes:
+            def step(params, opt_state, batch, rng, pal=pallas, bw=bwd,
+                     wg=with_grad):
                 def loss_fn(p):
                     out, _ = model.forward_teacher(
                         p, state, batch["chars_idx"], batch["chars_len"],
@@ -63,6 +69,8 @@ def main():
                         out.mels, out.mels_post, out.gates, batch["mel"], batch["gate"]
                     )
                     return loss
+                if not wg:
+                    return loss_fn(params), params, opt_state
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 updates, new_opt = tx.update(grads, opt_state, params)
                 new_params = jax.tree.map(lambda p, q: p + q, params, updates)
@@ -72,14 +80,29 @@ def main():
                 comp = jax.jit(step).lower(params, opt_state, batch, jax.random.PRNGKey(0)).compile()
                 l, p2, o2 = comp(params, opt_state, batch, jax.random.PRNGKey(0))
                 float(l)
-                ts = []
-                for i in range(5):
-                    t0 = time.perf_counter()
-                    l, p2, o2 = comp(params, opt_state, batch, jax.random.PRNGKey(i))
-                    float(l)
-                    ts.append(time.perf_counter() - t0)
-                ts.sort()
-                t = ts[len(ts) // 2]
+
+                # HONEST timing (PERF.md methodology): chain k steps
+                # device-side between scalar fetches and take the slope
+                # over two chain lengths — cancels the ~25-30 ms tunnel
+                # transport that a fetch-per-step loop would add to every
+                # step (the r1/r2 bench numbers carried that bias).
+                def chain(k):
+                    l2, p2, o2 = comp(params, opt_state, batch, jax.random.PRNGKey(0))
+                    for i in range(k - 1):
+                        l2, p2, o2 = comp(p2, o2, batch, jax.random.PRNGKey(i + 1))
+                    float(l2)
+
+                def t_of(k, iters=5):
+                    chain(k)  # warm
+                    ts = []
+                    for _ in range(iters):
+                        t0 = time.perf_counter()
+                        chain(k)
+                        ts.append(time.perf_counter() - t0)
+                    ts.sort()
+                    return ts[len(ts) // 2]
+
+                t = (t_of(8) - t_of(2)) / 6
                 print(f"B={B} frames={FRAMES} {label}: {t*1e3:.1f} ms/step "
                       f"= {B*FRAMES/t/1e3:.0f}k mel frames/s/chip  loss={float(l):.4f}",
                       flush=True)
