@@ -69,14 +69,27 @@ def main():
                 comp = jax.jit(step).lower(params, opt_state, batch, jax.random.PRNGKey(0)).compile()
                 l, p2, o2 = comp(params, opt_state, batch, jax.random.PRNGKey(0))
                 float(l)
-                ts = []
-                for i in range(4):
-                    t0 = time.perf_counter()
-                    l, p2, o2 = comp(params, opt_state, batch, jax.random.PRNGKey(i))
-                    float(l)
-                    ts.append(time.perf_counter() - t0)
-                ts.sort()
-                t = ts[len(ts) // 2]
+
+                # chained-step slope timing — cancels the ~28 ms tunnel
+                # transport a fetch-per-step loop adds (see
+                # train_pallas_bench.py / PERF.md)
+                def chain(k):
+                    l2, p2, o2 = comp(params, opt_state, batch, jax.random.PRNGKey(0))
+                    for i in range(k - 1):
+                        l2, p2, o2 = comp(p2, o2, batch, jax.random.PRNGKey(i + 1))
+                    float(l2)
+
+                def t_of(k, iters=4):
+                    chain(k)
+                    ts = []
+                    for _ in range(iters):
+                        t0 = time.perf_counter()
+                        chain(k)
+                        ts.append(time.perf_counter() - t0)
+                    ts.sort()
+                    return ts[len(ts) // 2]
+
+                t = (t_of(8) - t_of(2)) / 6
                 print(f"B={B} frames={FRAMES} unroll={unroll}: {t*1e3:.1f} ms/step "
                       f"= {B*FRAMES/t/1e3:.0f}k mel frames/s/chip", flush=True)
             except Exception as e:
