@@ -315,7 +315,7 @@ class Tacotron2:
             use_pallas = pallas_train
             if use_pallas is None:
                 use_pallas = not on_cpu and pallas_train_supported(
-                    cfg, self.policy, B
+                    cfg, self.policy, B, max_chars=chars_idx.shape[1]
                 )
             if use_pallas:
                 if pallas_bwd is None:

@@ -195,7 +195,7 @@ def pack_decoder_params(params, num_mels: int, encoded_full_dim: int,
 def batched_location_attention(
     h_new, wpadP, wpadC, att_w_prev, att_w_cum_prev,
     w_loc_win, wq, wv, att_enc_cat, valid, encoded, block_expand, s_ctx,
-    *, B8: int, BA: int, L: int, LB: int, dt,
+    *, B8: int, BA: int, L: int, LB: int, dt, flat_build: bool = False,
 ):
     """The batched location-attention epilogue shared by the fused decode
     kernel and the fused training kernel (ops/train_decode_pallas.py):
@@ -215,27 +215,58 @@ def batched_location_attention(
     attention weights (B8, L). ``wpadP``/``wpadC`` are (B8, LB) f32 scratch
     refs (zero outside [15, 15+L))."""
     f32 = jnp.float32
+    NL = B8 * LB
     wpadP[:, 15 : 15 + L] = att_w_prev
     wpadC[:, 15 : 15 + L] = att_w_cum_prev
-    rep_p = jnp.concatenate(
-        [jnp.broadcast_to(wpadP[b : b + 1, :], (64, LB)) for b in range(B8)], axis=0
-    )  # (64*B8, LB)
-    rep_c = jnp.concatenate(
-        [jnp.broadcast_to(wpadC[b : b + 1, :], (64, LB)) for b in range(B8)], axis=0
-    )
-    row = jax.lax.broadcasted_iota(jnp.int32, (64 * B8, LB), 0)
-    w_big = jnp.where((row % 64) < 32, rep_p, rep_c)
-    shift = row % 32
-    for j in (16, 8, 4, 2, 1):
-        # left-roll by j == roll(LB - j); pltpu.roll rejects negatives
-        w_big = jnp.where(
-            (shift & j) > 0, pltpu.roll(w_big, LB - j, axis=1), w_big
+    if flat_build:
+        # DIRECT (64, NL) window build — no (64*B8, LB) intermediate and
+        # no B8-part relayout concats (their fan-out crashes the Mosaic
+        # compile helper at large B8): place each row block-diagonally
+        # (repeat-tile × block-mask), collapse with a ones-contraction,
+        # tile to 64 rows, select the prev/cum channel by row, and apply
+        # the per-row left-rolls on the flat rows — seam-crossing lanes
+        # land in / come from zero-pad and masked (≥ L) tail lanes.
+        ones_b = jnp.ones((1, B8), f32)
+        sP = pltpu.repeat(wpadP[:], B8, axis=1) * block_expand[:].astype(f32)
+        sC = pltpu.repeat(wpadC[:], B8, axis=1) * block_expand[:].astype(f32)
+        pP = jax.lax.dot_general(
+            ones_b, sP, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (1, NL)
+        pC = jax.lax.dot_general(
+            ones_b, sC, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
         )
-    # relayout to one wide matrix (64, B8*LB): concat of the B8 64-row
-    # blocks along lanes (static sublane slices, one concat)
-    w_cat = jnp.concatenate(
-        [w_big[b * 64 : (b + 1) * 64, :] for b in range(B8)], axis=1
-    ).astype(dt)  # (64, B8*LB)
+        row = jax.lax.broadcasted_iota(jnp.int32, (64, NL), 0)
+        w_rows = jnp.where(
+            row < 32, pltpu.repeat(pP, 64, axis=0), pltpu.repeat(pC, 64, axis=0)
+        )
+        shift = row % 32
+        for j in (16, 8, 4, 2, 1):
+            w_rows = jnp.where(
+                (shift & j) > 0, pltpu.roll(w_rows, NL - j, axis=1), w_rows
+            )
+        w_cat = w_rows.astype(dt)  # (64, NL)
+    else:
+        rep_p = jnp.concatenate(
+            [jnp.broadcast_to(wpadP[b : b + 1, :], (64, LB)) for b in range(B8)], axis=0
+        )  # (64*B8, LB)
+        rep_c = jnp.concatenate(
+            [jnp.broadcast_to(wpadC[b : b + 1, :], (64, LB)) for b in range(B8)], axis=0
+        )
+        row = jax.lax.broadcasted_iota(jnp.int32, (64 * B8, LB), 0)
+        w_big = jnp.where((row % 64) < 32, rep_p, rep_c)
+        shift = row % 32
+        for j in (16, 8, 4, 2, 1):
+            # left-roll by j == roll(LB - j); pltpu.roll rejects negatives
+            w_big = jnp.where(
+                (shift & j) > 0, pltpu.roll(w_big, LB - j, axis=1), w_big
+            )
+        # relayout to one wide matrix (64, B8*LB): concat of the B8 64-row
+        # blocks along lanes (static sublane slices, one concat)
+        w_cat = jnp.concatenate(
+            [w_big[b * 64 : (b + 1) * 64, :] for b in range(B8)], axis=1
+        ).astype(dt)  # (64, B8*LB)
     # loc energies for ALL batch rows in ONE matmul (contract taps)
     loc_cat = jax.lax.dot_general(
         w_loc_win[:].astype(dt), w_cat,

@@ -109,11 +109,13 @@ def _teacher_step_kernel(
     s_att_c[:] = c_att
     s_att_h[:] = h_att_d  # post-dropout carry (decoder.py:138)
 
-    # ---- location attention (shared batched epilogue) ---------------------
+    # ---- location attention (shared batched epilogue; the DIRECT flat
+    # window build avoids the B8-part relayout fan-out that crashes the
+    # Mosaic compile helper at large batch) ---------------------------------
     w = batched_location_attention(
         h_att_d, wpadP, wpadC, s_att_w[:], s_att_w_cum[:],
         w_loc_win, wq, wv, att_enc_cat, valid, encoded, block_expand,
-        s_ctx, B8=B8, BA=BA, L=L, LB=LB, dt=dt,
+        s_ctx, B8=B8, BA=BA, L=L, LB=LB, dt=dt, flat_build=True,
     )
     s_att_w_cum[:] = s_att_w_cum[:] + w
     s_att_w[:] = w
@@ -235,7 +237,11 @@ def _fwd_impl(policy, train, interpret, w1, w2, small, decoder_in, step_keys,
     dec_in = pad_to(decoder_in.astype(f32), 1, B8)  # (T, B8, P)
 
     enc = pad_to(pad_to(encoded, 1, L), 0, B8).astype(dt)
-    att = pad_to(pad_to(att_encoded, 1, LB), 0, B8).astype(f32)
+    # attention memory in the COMPUTE dtype (the kernel upcasts at the
+    # energies add): halves the resident VMEM at large batch; exact under
+    # the f32 policy, bf16-matmul-class under bf16-mixed (the backward
+    # recomputes through the f32 XLA attention either way)
+    att = pad_to(pad_to(att_encoded, 1, LB), 0, B8).astype(dt)
     att_cat = jnp.transpose(att, (2, 0, 1)).reshape(att.shape[2], B8 * LB)
     valid = pad_to(pad_to((~mask).astype(f32), 1, LB), 0, B8)
     valid = valid.at[:, 0].set(jnp.maximum(valid[:, 0], 1e-6))
@@ -243,7 +249,10 @@ def _fwd_impl(policy, train, interpret, w1, w2, small, decoder_in, step_keys,
         ctrl = pad_to(pad_to(controls.astype(f32), 1, E), 0, B8)
     else:
         ctrl = jnp.zeros((B8, E), f32)
-    block_expand = jnp.kron(jnp.eye(B8, dtype=f32), jnp.ones((1, LB), f32))
+    # 0/1 mask — exact in bf16; compute dtype halves its resident VMEM
+    block_expand = jnp.kron(
+        jnp.eye(B8, dtype=f32), jnp.ones((1, LB), f32)
+    ).astype(dt)
 
     st = [
         pad_to(getattr(init_state, k).astype(f32), 0, B8)
@@ -1007,21 +1016,30 @@ def _bwd_impl_pallas(policy, train, interpret, saved, cots):
     )
 
 
-def pallas_train_supported(cfg, policy: Policy, batch: int) -> bool:
+def pallas_train_supported(cfg, policy: Policy, batch: int,
+                           max_chars: int = 256) -> bool:
     """Dispatch guard for the fused training scan: bf16-mixed policy only
     (under "32-true" the XLA path keeps the torch-parity HIGH-precision f32
     matmuls, which Mosaic cannot express — the kernel pins DEFAULT), the
-    packed weight block must fit the VMEM budget, and the kernel assumes
-    att_rnn_dim == rnn_hidden_dim (true for every shipped config). Batches
-    beyond 64 rows fall back to the XLA hoisted scan (the batched attention
-    epilogue's concat fan-out grows with B8)."""
+    kernel assumes att_rnn_dim == rnn_hidden_dim (true for every shipped
+    config), batch <= 128 (the DIRECT flat window build compiles the
+    forward to B8=128; flagship B=128 measured 191 ms vs 194 XLA), and the
+    resident VMEM estimate (weights + encoded + attention memory + block
+    mask + f32 scratch) must fit under the 100 MB limit with margin."""
     if cfg.att_rnn_dim != cfg.rnn_hidden_dim:
         return False
-    if batch > 64:
+    if batch > 128:
         return False
     if policy.compute_dtype != jnp.bfloat16:
         return False
     H = cfg.att_rnn_dim
+    A = cfg.att_dim
+    D = cfg.encoded_full_dim
     E = _round_up(max(cfg.controls_dim, 1), 16)
-    R2k = 2 * H + cfg.encoded_full_dim + E
-    return R2k * 8 * H * 2 <= 64 * 1024 * 1024
+    R2k = 2 * H + D + E
+    B8 = _round_up(batch, 8)
+    L = _round_up(max(max_chars, 1), 128)
+    LB = _round_up(L + 47, 128)
+    resident = 2 * (R2k * 8 * H + B8 * L * D + A * B8 * LB + B8 * B8 * LB)
+    scratch = 4 * B8 * (4 * H + R2k + 2 * LB + 3 * H + D + 2 * L)
+    return resident + scratch <= 88 * 1024 * 1024
