@@ -237,6 +237,53 @@ def test_batch_aware_residency_default():
     assert tiny.default_resident_cols(False, batch=32) == 0
 
 
+def test_pallas_bwd_modes_agree_bf16():
+    """bf16-mixed: the Pallas backward's compute-dtype pull chain must
+    stay within bf16-class agreement of the XLA hoisted backward (which
+    recomputes through f32 attention). Gates the dt-uniform de_pre /
+    d_attenc / window-backward traffic halving."""
+    from tacotron2_tpu.ops.train_decode_pallas import run_decode_scan_pallas
+    from tacotron2_tpu.models import decoder as decoder_mod
+
+    model, params, state, batch = _setup(policy="bf16-mixed")
+    key = jax.random.PRNGKey(23)
+    B, T = 2, 24
+    H, D, P = 32, 32, 16
+    enc0 = jax.random.normal(jax.random.PRNGKey(1), (B, 9, D))
+    att0 = jax.random.normal(jax.random.PRNGKey(2), (B, 9, 16))
+    din0 = jax.random.normal(jax.random.PRNGKey(3), (T, B, P))
+    mask = jnp.arange(9)[None, :] >= jnp.asarray([9, 6])[:, None]
+    keys = jax.random.split(key, T)
+    st = decoder_mod.init_state(B, 9, H, D, H)
+
+    def loss_with(bwd):
+        def f(dec_params, enc, att_enc, dec_in):
+            mels, gates, aligns = run_decode_scan_pallas(
+                dec_params, st, dec_in, keys, enc, att_enc, mask, None,
+                train=True, policy=model.policy, interpret=True, bwd=bwd,
+            )
+            return (
+                jnp.sum(mels ** 2) + jnp.sum(gates ** 2)
+                + jnp.sum(aligns * jnp.arange(9)[None, None, :])
+            )
+        return f
+
+    args = (params["decoder"], enc0, att0, din0)
+    g_x = jax.grad(loss_with("xla"), argnums=(0, 1, 2, 3))(*args)
+    g_p = jax.grad(loss_with("pallas"), argnums=(0, 1, 2, 3))(*args)
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(g_x), jax.tree.leaves(g_p)
+    ):
+        scale = max(float(np.abs(np.asarray(a)).max()), 1e-6)
+        # bf16-class budget: both backwards round differently; 2% of the
+        # per-leaf max plus floor catches real regressions (sign flips,
+        # dropped terms) while allowing rounding-order noise
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=0.02 * scale + 1e-6,
+            err_msg=f"bf16 bwd-mode grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
 def test_pallas_bf16_policy_trains():
     """Under the bf16 policy the Pallas training path runs, grads are
     finite, and a few optimization steps reduce the loss."""
