@@ -88,6 +88,14 @@ def do_say(
             bert_description_embedding(description, cfg.model.description_embeddings_dim)
         )
     if cfg.extensions.speaker_tokens.active:
+        # the reference crashes with a raw TypeError here
+        # (run/say.py:110-112, torch.tensor([None])); validate like the
+        # rest of the config surface instead
+        if speaker_id is None:
+            raise ValueError(
+                "--speaker-id is required: this is a multi-speaker model "
+                "(extensions.speaker_tokens.active)."
+            )
         kwargs["speaker_id"] = jnp.asarray([speaker_id], jnp.int32)
     if cfg.extensions.controls.active and controls:
         kwargs["controls"] = jnp.asarray(

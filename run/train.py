@@ -261,16 +261,21 @@ def do_train(
         val_every = int(val_check_interval)
 
     def run_validation(step: int):
+        # per-batch losses stay ON DEVICE; one host fetch per val epoch
+        # (each float() through the tunnel costs ~28 ms of fixed transport
+        # — PERF.md methodology — so a 64-batch epoch would burn ~1.8 s in
+        # pure latency if fetched per batch)
         losses, firsts0, lens0 = [], None, None
         for i, batch in enumerate(val_loader):
             vb = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
             metrics, firsts = eval_step(ts.params, ts.model_state, vb, jax.random.PRNGKey(step))
-            losses.append(float(metrics["loss"]))
+            losses.append(metrics["loss"])
             if i == 0:
-                firsts0 = jax.tree.map(np.asarray, firsts)
+                firsts0 = firsts
                 lens0 = (int(batch["mel_len"][0]), int(batch["chars_len"][0]))
         if losses:
-            mean_loss = float(np.mean(losses))
+            mean_loss = float(jax.numpy.mean(jax.numpy.stack(losses)))
+            firsts0 = jax.tree.map(np.asarray, firsts0)
             logger.scalars({"val_loss": mean_loss, "val_mel_loss": mean_loss}, step)
             if firsts0 is not None:
                 logger.validation_images(firsts0, lens0[0], lens0[1], step)
@@ -303,7 +308,10 @@ def do_train(
                 else train_step
             )
             ts, metrics = step_fn(ts, device_batch, data_rng)
-            frames_done += int(batch["mel"].shape[0] * batch["mel"].shape[1])
+            # honest throughput: REAL frames (sum of mel lengths), not the
+            # bucketed padded shape — keeps the TB counter consistent with
+            # the slope-timed PERF.md numbers
+            frames_done += int(np.sum(batch["mel_len"]))
             step += 1
             if step % log_every == 0 or step == 1:
                 m = {f"training_{k}": float(v) for k, v in metrics.items() if k != "loss"}

@@ -306,6 +306,7 @@ class Tacotron2:
             # the per-frame weight re-streaming disappears; the backward is
             # the same verified XLA reverse scan either way.
             from tacotron2_tpu.ops.train_decode_pallas import (
+                pallas_bwd_supported,
                 pallas_train_supported,
                 run_decode_scan_pallas,
             )
@@ -321,9 +322,17 @@ class Tacotron2:
                 if pallas_bwd is None:
                     # the reverse-scan kernel is compiler-clean up to B=32
                     # (beyond that its B8-wide relayout fan-out crashes the
-                    # Mosaic compile helper); larger batches keep the XLA
-                    # hoisted reverse scan behind the Pallas forward
-                    pallas_bwd = "pallas" if B <= 32 else "xla"
+                    # Mosaic compile helper); larger batches — or long-char
+                    # batches whose bigger backward resident set would blow
+                    # VMEM (pallas_bwd_supported) — keep the XLA hoisted
+                    # reverse scan behind the Pallas forward
+                    pallas_bwd = (
+                        "pallas"
+                        if B <= 32 and (on_cpu or pallas_bwd_supported(
+                            cfg, self.policy, B, max_chars=chars_idx.shape[1]
+                        ))
+                        else "xla"
+                    )
                 mels, gates, aligns = run_decode_scan_pallas(
                     params["decoder"], dec_state, decoder_in, step_keys,
                     encoded, att_encoded, mask, controls, train, self.policy,

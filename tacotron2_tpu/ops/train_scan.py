@@ -212,6 +212,11 @@ def _vjp_bwd(policy, train, saved, cots):
     def bstep(carry, x):
         (d_att_h, d_att_c, d_ctx, d_w, d_cum, d_rnn_h, d_rnn_c,
          d_small_acc, d_attenc_acc, d_ctrl_acc) = carry
+        # COUPLING NOTE: rnn_h_prev is unpacked for layout parity but never
+        # read below (the xh2 stack already carries it). The Pallas forward
+        # (ops/train_decode_pallas.py:_fwd_impl) relies on this and passes
+        # ZEROS in its place — if a future edit starts consuming rnn_h_prev
+        # here, the Pallas path would silently train on zeros.
         (xh1_c, xh2_c, c_att_prev, c_rnn_prev, w_prev, cum_prev,
          rnn_h_prev, key_t, dmel_t, dgate_t, dalign_t) = x
 

@@ -310,3 +310,30 @@ def test_pallas_bf16_policy_trains():
             first = float(l)
     assert np.isfinite(float(l))
     assert float(l) < first
+
+
+def test_vmem_guards_flagship():
+    """Dispatch guards (ADVICE r2 #1): the forward guard admits the
+    flagship up to B=128 at typical char lengths; the BACKWARD guard —
+    whose resident set adds the f32 (A, B8*LB) attention planes — admits
+    the measured peak config (B=32, ~128 chars) but falls back to the XLA
+    reverse scan for long-char batches that would blow the 100 MB VMEM
+    limit."""
+    from tacotron2_tpu.ops.train_decode_pallas import (
+        pallas_bwd_supported,
+        pallas_train_supported,
+    )
+
+    flagship = Tacotron2Config(
+        num_chars=39, encoded_dim=512, encoder_kernel_size=5, num_mels=80,
+        prenet_dim=256, att_rnn_dim=1024, att_dim=128, rnn_hidden_dim=1024,
+        postnet_dim=512,
+    )
+    bf16 = Policy.from_string("bf16-mixed")
+    assert pallas_train_supported(flagship, bf16, 32, max_chars=128)
+    assert pallas_train_supported(flagship, bf16, 128, max_chars=128)
+    assert pallas_bwd_supported(flagship, bf16, 32, max_chars=128)
+    # long-char backward exceeds the budget -> XLA fallback
+    assert not pallas_bwd_supported(flagship, bf16, 32, max_chars=512)
+    # f32 policy never dispatches to the kernels
+    assert not pallas_train_supported(flagship, Policy.from_string("32-true"), 32)

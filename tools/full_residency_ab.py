@@ -5,9 +5,10 @@ zero streamed columns). Honest slope timing (see bench.py / PERF.md).
 Usage: python tools/full_residency_ab.py [B ...]   (default 1 32)
 """
 
+import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -6,10 +6,11 @@ transport; DIFFERENCES between rows cancel it.
 Usage: python tools/fwd_decompose.py [B] [T]
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
