@@ -41,7 +41,8 @@ class BertEmbedder:
     def __init__(self, torch_model, tokenizer):
         from tacotron2_tpu.models.bert import Bert, convert_bert_state_dict
 
-        params, cfg = convert_bert_state_dict(torch_model.state_dict())
+        sd = torch_model.state_dict() if hasattr(torch_model, "state_dict") else torch_model
+        params, cfg = convert_bert_state_dict(sd)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -55,6 +56,53 @@ class BertEmbedder:
             BertModel.from_pretrained(name_or_path),
             AutoTokenizer.from_pretrained(name_or_path),
         )
+
+    @classmethod
+    def from_local(cls, checkpoint: str):
+        """OFFLINE weights path (no network, ever — this environment has
+        zero egress, and production weight provisioning is a one-time copy
+        of the HF artifacts onto the host). Accepts either
+
+        - a directory in HF layout (``config.json`` + weights +
+          ``vocab.txt``): loaded with ``local_files_only=True``; or
+        - a torch state-dict file (``.pt``/``.bin``, a plain
+          ``torch.save(model.state_dict())``) with ``vocab.txt`` next to
+          it for the WordPiece tokenizer.
+
+        Matches the reference's BERT consumption semantics
+        (run/say.py:99-106) without its implicit download."""
+        import os as _os
+
+        if _os.path.isdir(checkpoint):
+            from transformers import AutoTokenizer, BertModel
+
+            return cls(
+                BertModel.from_pretrained(checkpoint, local_files_only=True),
+                AutoTokenizer.from_pretrained(checkpoint, local_files_only=True),
+            )
+        import torch
+        from transformers import BertTokenizer
+
+        sd = torch.load(checkpoint, map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and "state_dict" in sd and "pooler.dense.weight" not in sd:
+            sd = sd["state_dict"]  # Lightning-style wrapper
+        vocab = _os.path.join(_os.path.dirname(checkpoint) or ".", "vocab.txt")
+        if not _os.path.exists(vocab):
+            raise FileNotFoundError(
+                f"WordPiece vocab not found at {vocab} — place the BERT "
+                f"vocab.txt next to the state-dict file."
+            )
+        return cls(sd, BertTokenizer(vocab_file=vocab))
+
+    @classmethod
+    def resolve(cls, name_or_path: str):
+        """Local path (dir or state-dict file) -> from_local; anything
+        else -> HF from_pretrained (requires network/cache)."""
+        import os as _os
+
+        if _os.path.exists(name_or_path):
+            return cls.from_local(name_or_path)
+        return cls.from_pretrained(name_or_path)
 
     def _pad_to(self, seqs: List[List[int]], bucket: int = 16):
         L = max(len(s) for s in seqs)
@@ -115,7 +163,7 @@ def do_embed_descriptions(
     if column not in df.columns:
         raise ValueError(f"column {column!r} not in {csv_path}")
     if embedder is None:
-        embedder = BertEmbedder.from_pretrained(bert)
+        embedder = BertEmbedder.resolve(bert)
 
     out_dir = path.join(speech_dir, "description_embeddings")
     os.makedirs(out_dir, exist_ok=True)

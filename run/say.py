@@ -29,27 +29,26 @@ from tacotron2_tpu.text.encoder import CharEncoder
 MAX_LEN = 5000  # frames cap (run/say.py:147)
 
 
-def bert_description_embedding(description: Optional[str], dim: int) -> np.ndarray:
+def bert_description_embedding(
+    description: Optional[str], dim: int, bert_checkpoint: Optional[str] = None
+) -> np.ndarray:
     """BERT pooler_output of the style description (run/say.py:92-106);
     zeros when absent. The encode runs in OUR JAX BERT (models/bert.py) on
-    device; HF supplies tokenization + the (locally cached) weights."""
+    device. ``bert_checkpoint`` points at LOCAL weights (an HF-layout
+    directory or a torch state-dict file + vocab.txt — see
+    BertEmbedder.from_local) so the path works with zero network access;
+    without it, HF's from_pretrained supplies the (cached) weights like
+    the reference's implicit download."""
     if description is None:
         return np.zeros((1, dim), np.float32)
-    from transformers import AutoTokenizer, BertModel
+    from run.embed_descriptions import BertEmbedder
 
-    from tacotron2_tpu.models.bert import Bert, convert_bert_state_dict
-
-    tokenizer = AutoTokenizer.from_pretrained("google-bert/bert-base-uncased")
-    torch_model = BertModel.from_pretrained("google-bert/bert-base-uncased")
-    params, bert_cfg = convert_bert_state_dict(torch_model.state_dict())
-    tok = tokenizer(description, return_tensors="np")
-    _, pooled = jax.jit(Bert(bert_cfg).apply)(
-        params,
-        jnp.asarray(tok["input_ids"]),
-        jnp.asarray(tok["attention_mask"]),
-        jnp.asarray(tok["token_type_ids"]),
+    embedder = (
+        BertEmbedder.from_local(bert_checkpoint)
+        if bert_checkpoint is not None
+        else BertEmbedder.from_pretrained()
     )
-    return np.asarray(pooled, dtype=np.float32)
+    return embedder.embed([description])
 
 
 def do_say(
@@ -66,6 +65,7 @@ def do_say(
     description: Optional[str] = None,
     max_len_override: int = MAX_LEN,
     quantize_int8: bool = False,
+    bert_checkpoint: Optional[str] = None,
 ) -> str:
     prep = cfg.dataset.preprocessing
     if random_seed is None:
@@ -85,7 +85,10 @@ def do_say(
     kwargs = {}
     if cfg.model.description_embeddings:
         kwargs["description_embeddings"] = jnp.asarray(
-            bert_description_embedding(description, cfg.model.description_embeddings_dim)
+            bert_description_embedding(
+                description, cfg.model.description_embeddings_dim,
+                bert_checkpoint=bert_checkpoint,
+            )
         )
     if cfg.extensions.speaker_tokens.active:
         # the reference crashes with a raw TypeError here

@@ -255,6 +255,7 @@ class Tacotron2:
         dw_hoist: bool = False,
         pallas_train: Optional[bool] = None,
         pallas_bwd: Optional[str] = None,  # "pallas" | "xla" (default)
+        shard_mesh=None,  # jax.sharding.Mesh for the multi-device Pallas path
     ) -> Tuple[Tacotron2Output, dict]:
         """Teacher-forced forward: ONE lax.scan over the decode step
         (replaces the reference's Python loop, model/tacotron2.py:276-317).
@@ -313,11 +314,29 @@ class Tacotron2:
             from tacotron2_tpu.ops.train_scan import run_decode_scan
 
             on_cpu = jax.default_backend() == "cpu"
+            # Multi-device meshes (SPMD training): GSPMD has no partitioning
+            # rule for pallas_call, so the kernels run per-shard under
+            # jax.shard_map over the "data" axis — the decode scan has NO
+            # cross-batch ops (LSTM/attention are per-sample), so a
+            # per-shard call on B/ndev rows is mathematically identical to
+            # the full-batch call, and the shard_map transpose psums the
+            # replicated weights' cotangents over ICI automatically. TP
+            # meshes ("model" > 1) keep the XLA scan: the column-parallel
+            # LSTM weights are sharded and the kernel needs them whole.
+            multi = shard_mesh is not None and shard_mesh.size > 1
+            shardable = (
+                multi
+                and shard_mesh.shape.get("model", 1) == 1
+                and B % shard_mesh.shape.get("data", 1) == 0
+            )
+            B_eff = B // shard_mesh.shape["data"] if shardable else B
             use_pallas = pallas_train
             if use_pallas is None:
                 use_pallas = not on_cpu and pallas_train_supported(
-                    cfg, self.policy, B, max_chars=chars_idx.shape[1]
+                    cfg, self.policy, B_eff, max_chars=chars_idx.shape[1]
                 )
+            if multi and not shardable:
+                use_pallas = False  # no GSPMD rule for pallas_call
             if use_pallas:
                 if pallas_bwd is None:
                     # the reverse-scan kernel is compiler-clean up to B=32
@@ -325,19 +344,27 @@ class Tacotron2:
                     # Mosaic compile helper); larger batches — or long-char
                     # batches whose bigger backward resident set would blow
                     # VMEM (pallas_bwd_supported) — keep the XLA hoisted
-                    # reverse scan behind the Pallas forward
+                    # reverse scan behind the Pallas forward. Both gates use
+                    # the PER-SHARD batch on multi-device meshes.
                     pallas_bwd = (
                         "pallas"
-                        if B <= 32 and (on_cpu or pallas_bwd_supported(
-                            cfg, self.policy, B, max_chars=chars_idx.shape[1]
+                        if B_eff <= 32 and (on_cpu or pallas_bwd_supported(
+                            cfg, self.policy, B_eff, max_chars=chars_idx.shape[1]
                         ))
                         else "xla"
                     )
-                mels, gates, aligns = run_decode_scan_pallas(
-                    params["decoder"], dec_state, decoder_in, step_keys,
-                    encoded, att_encoded, mask, controls, train, self.policy,
-                    interpret=on_cpu, bwd=pallas_bwd,
-                )
+                if multi:
+                    mels, gates, aligns = self._shard_mapped_pallas_scan(
+                        shard_mesh, params["decoder"], dec_state, decoder_in,
+                        step_keys, encoded, att_encoded, mask, controls,
+                        train, on_cpu, pallas_bwd,
+                    )
+                else:
+                    mels, gates, aligns = run_decode_scan_pallas(
+                        params["decoder"], dec_state, decoder_in, step_keys,
+                        encoded, att_encoded, mask, controls, train, self.policy,
+                        interpret=on_cpu, bwd=pallas_bwd,
+                    )
             else:
                 mels, gates, aligns = run_decode_scan(
                     params["decoder"], dec_state, decoder_in, step_keys,
@@ -376,6 +403,53 @@ class Tacotron2:
         if cfg.gst:
             new_state["gst"] = gst_state
         return out, new_state
+
+    # ------------------------------------------------------------------
+    def _shard_mapped_pallas_scan(
+        self, mesh, dec_params, dec_state, decoder_in, step_keys,
+        encoded, att_encoded, mask, controls, train: bool, on_cpu: bool,
+        pallas_bwd: str,
+    ):
+        """Run the launch-resident Pallas training scan per data shard
+        under ``jax.shard_map`` (SURVEY §2.8: the TPU-native scaling story;
+        replaces reference run/train.py:236-239's single-GPU pin). Weights
+        enter replicated (their cotangents are psum'd over ICI by the
+        shard_map transpose); every batch-axis input/output is split over
+        "data". The decode scan has no cross-batch ops, so per-shard
+        results are bit-identical to the full-batch call — except the
+        per-step LSTM dropout masks: each shard folds its data-axis index
+        into the step keys so shards draw INDEPENDENT masks (statistically
+        equivalent to, but not bit-equal with, the single-device draw;
+        exact with train=False / eval, which is what the parity tests
+        pin)."""
+        from jax.sharding import PartitionSpec as PS
+
+        from tacotron2_tpu.ops.train_decode_pallas import run_decode_scan_pallas
+
+        policy = self.policy
+
+        def local_scan(dec_p, st, din, keys, enc, att, msk, ctl):
+            idx = jax.lax.axis_index("data")
+            keys = jax.vmap(lambda k: jax.random.fold_in(k, idx))(keys)
+            return run_decode_scan_pallas(
+                dec_p, st, din, keys, enc, att, msk, ctl, train, policy,
+                interpret=on_cpu, bwd=pallas_bwd,
+            )
+
+        in_specs = (
+            jax.tree.map(lambda _: PS(), dec_params),
+            jax.tree.map(lambda _: PS("data"), dec_state),
+            PS(None, "data"),  # decoder_in (T, B, P)
+            PS(),  # step_keys (T, 2)
+            PS("data"), PS("data"), PS("data"),  # encoded, att_encoded, mask
+            None if controls is None else PS("data"),
+        )
+        out_specs = (PS(None, "data"), PS(None, "data"), PS(None, "data"))
+        return jax.shard_map(
+            local_scan, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )(dec_params, dec_state, decoder_in, step_keys, encoded,
+          att_encoded, mask, controls)
 
     # ------------------------------------------------------------------
     def forward_infer(

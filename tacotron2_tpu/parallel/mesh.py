@@ -131,20 +131,27 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 
-def make_sharded_train_step(model, tx, mesh: Mesh, donate: bool = True, prosody=None):
+def make_sharded_train_step(model, tx, mesh: Mesh, donate: bool = True,
+                            prosody=None, pallas_train=None):
     """DP/TP train step: same pure step as single-chip, jitted; sharding
     comes from argument placement (place_params/shard_batch). The loss/BN
     means over the DP-sharded batch axis compile to psums over ICI.
+
+    On >1-device meshes the launch-resident Pallas training kernels run
+    per data shard under ``jax.shard_map`` (decode has no cross-batch
+    ops; weight cotangents psum over ICI) — per-device batch B/ndev must
+    satisfy the kernel's own dispatch guards, so global B <= 256 on 8
+    devices keeps the full fwd+bwd kernel. TP meshes ("model" > 1) and
+    indivisible batches fall back to the XLA hoisted scan automatically
+    (the dispatch lives in Tacotron2.forward_teacher).
+
     ``prosody``: optional frozen-predictor style-loss triple (see
-    training/step.py:build_train_step)."""
+    training/step.py:build_train_step). ``pallas_train``: tri-state
+    override forwarded to the model (None = auto by backend/VMEM)."""
     from tacotron2_tpu.training.step import build_train_step
 
-    # >1 device: force the XLA hoisted scan — GSPMD cannot partition the
-    # Pallas training kernels, and the XLA path's batch axis shards
-    # cleanly (grad psums over ICI). A 1-device mesh keeps the Pallas
-    # auto-dispatch (the common single-chip case).
     step = build_train_step(
-        model, tx, prosody=prosody,
-        pallas_train=False if mesh.size > 1 else None,
+        model, tx, prosody=prosody, pallas_train=pallas_train,
+        shard_mesh=mesh if mesh.size > 1 else None,
     )
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -25,7 +25,7 @@ from tacotron2_tpu.training.losses import prosody_style_loss, tacotron2_loss
 
 
 def build_train_step(model: Tacotron2, tx, remat: bool = True, prosody=None,
-                     pallas_train=None):
+                     pallas_train=None, shard_mesh=None):
     """Pure (un-jitted) train step: (train_state, batch, rng) ->
     (train_state, metrics). Shared by the single-chip and mesh-sharded paths.
 
@@ -64,12 +64,14 @@ def build_train_step(model: Tacotron2, tx, remat: bool = True, prosody=None,
             # 109.9 -> 76.3 ms/step at B=32/512f, PERF.md). Gradients
             # verified against jax.grad of the standard scan
             # (tests/test_train_scan.py, tests/test_train_pallas.py).
-            # ``pallas_train=False`` is forced by the sharded builder when
-            # the mesh has >1 device: GSPMD has no partitioning rule for
-            # pallas_call, so the XLA hoisted scan (which partitions
-            # cleanly over the batch axis) is the multi-chip path.
+            # ``shard_mesh``: on >1-device meshes the kernels run
+            # per-shard under jax.shard_map over the "data" axis (GSPMD
+            # has no partitioning rule for pallas_call); TP meshes and
+            # indivisible batches fall back to the XLA hoisted scan,
+            # which partitions cleanly over the batch axis.
             dw_hoist=True,
             pallas_train=pallas_train,
+            shard_mesh=shard_mesh,
         )
         loss, metrics = tacotron2_loss(
             out.mels, out.mels_post, out.gates, batch["mel"], batch["gate"]

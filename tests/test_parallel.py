@@ -185,3 +185,72 @@ def test_make_mesh_for_batch_warns_on_idle_devices():
         mesh = make_mesh_for_batch(8)
     assert mesh.size == 8
     assert not w
+
+
+def _loss_of(model, state, batch, rng, **fkw):
+    from tacotron2_tpu.training.losses import tacotron2_loss
+
+    def f(params):
+        out, _ = model.forward_teacher(
+            params, state, batch["chars_idx"], batch["chars_len"],
+            batch["mel"], batch["mel_len"], rng=rng, dw_hoist=True, **fkw,
+        )
+        return tacotron2_loss(
+            out.mels, out.mels_post, out.gates, batch["mel"], batch["gate"]
+        )[0]
+
+    return f
+
+
+def test_dp_pallas_grads_match_single_device():
+    """VERDICT r2 #1: the launch-resident Pallas training kernels must run
+    on multi-device meshes. shard_map over "data" runs the kernel per
+    shard (interpret mode on this CPU mesh); gradients over the full
+    param tree must equal the single-device Pallas call (train=False so
+    the per-shard dropout-key folding is inert and equality is exact)."""
+    model = Tacotron2(CFG)
+    params, state = model.init(jax.random.PRNGKey(0))
+    batch = _batch()
+    rng = jax.random.PRNGKey(11)
+
+    g1 = jax.jit(jax.grad(_loss_of(
+        model, state, batch, rng, train=False, pallas_train=True
+    )))(params)
+
+    mesh = make_mesh()
+    p2 = place_params(params, mesh)
+    s2 = place_replicated(state, mesh)
+    b2 = shard_batch(batch, mesh)
+    g2 = jax.jit(jax.grad(_loss_of(
+        model, s2, b2, rng, train=False, pallas_train=True, shard_mesh=mesh
+    )))(p2)
+
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(g1), jax.tree.leaves(g2)
+    ):
+        scale = max(float(np.abs(np.asarray(a)).max()), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=3e-6 * scale + 1e-8,
+            err_msg=f"shard_map grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_dp_pallas_full_train_step_runs():
+    """Full sharded train step (optimizer included) through the shard_map
+    Pallas path, dropout ON: finite loss, step advances, params move."""
+    model = Tacotron2(CFG)
+    params, state = model.init(jax.random.PRNGKey(1))
+    tx, _ = make_optimizer(1e-3, 1e-6, scheduler_milestones=[])
+    mesh = make_mesh()
+    p2 = place_params(params, mesh)
+    s2 = place_replicated(state, mesh)
+    ts = TrainState.create(p2, s2, tx)
+    step = make_sharded_train_step(model, tx, mesh, donate=False, pallas_train=True)
+    ts2, m = step(ts, shard_batch(_batch(seed=9), mesh), jax.random.PRNGKey(5))
+    assert np.isfinite(float(m["loss"]))
+    assert int(ts2.step) == 1
+    moved = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        ts.params, ts2.params,
+    )
+    assert max(jax.tree.leaves(moved)) > 0.0
