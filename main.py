@@ -129,13 +129,15 @@ def train_mel_export(ctx, speech_dir, checkpoint, results_dir):
               help="If descriptions are enabled, a textual description for how the text is to be spoken.")
 @click.option("--bert-checkpoint", required=False, type=str, default=None,
               help="Local BERT weights for --description (HF-layout directory, or a torch state-dict file with vocab.txt beside it); no network needed.")
+@click.option("--gst-reference", required=False, type=str, default=None,
+              help="If GST is enabled, a reference .wav whose style (via the mel frontend) conditions the synthesis; omit for the neutral style.")
 @click.option("--export-mel", is_flag=True, default=False, hidden=True)
 @click.option("--quantize-int8", is_flag=True, default=False,
               help="Fast decode mode: fused Pallas kernel with int8 weight streaming (~0.3% mel divergence).")
 @click.option("--max-len-override", type=int, default=5000, hidden=True)
 def say(ctx, checkpoint, text, out, hifi_gan_checkpoint, random_seed,
-        speaker_id, controls, description, bert_checkpoint, export_mel,
-        quantize_int8, max_len_override):
+        speaker_id, controls, description, bert_checkpoint, gst_reference,
+        export_mel, quantize_int8, max_len_override):
     cfg = _require_config(ctx, "speech")
     from run.say import do_say
 
@@ -143,7 +145,8 @@ def say(ctx, checkpoint, text, out, hifi_gan_checkpoint, random_seed,
            hifi_gan_checkpoint=hifi_gan_checkpoint, random_seed=random_seed,
            speaker_id=speaker_id, controls=controls, export_mel=export_mel,
            description=description, quantize_int8=quantize_int8,
-           max_len_override=max_len_override, bert_checkpoint=bert_checkpoint)
+           max_len_override=max_len_override, bert_checkpoint=bert_checkpoint,
+           gst_reference=gst_reference)
 
 
 @main.command()

@@ -66,6 +66,7 @@ def do_say(
     max_len_override: int = MAX_LEN,
     quantize_int8: bool = False,
     bert_checkpoint: Optional[str] = None,
+    gst_reference: Optional[str] = None,
 ) -> str:
     prep = cfg.dataset.preprocessing
     if random_seed is None:
@@ -104,6 +105,29 @@ def do_say(
         kwargs["controls"] = jnp.asarray(
             [[float(x) for x in controls.split(",")]], jnp.float32
         )
+    if gst_reference is not None:
+        # GST style transfer: reference wav -> framework mel frontend ->
+        # style embedding (beyond-reference capability: the reference keeps
+        # GST dormant, model/gst.py:158-175; absent flag = neutral
+        # zeros-reference style, Tacotron2._infer_style)
+        if not cfg.extensions.gst.active:
+            raise ValueError(
+                "--gst-reference given, but extensions.gst is not active "
+                "in this config."
+            )
+        from tacotron2_tpu.audio.io import read_wav
+        from tacotron2_tpu.audio.mel import TacotronMelSpectrogram
+
+        ref_wav, ref_sr = read_wav(gst_reference)
+        if ref_sr != prep.sample_rate:
+            raise ValueError(
+                f"--gst-reference sample rate {ref_sr} != configured "
+                f"{prep.sample_rate}"
+            )
+        mel_fn = TacotronMelSpectrogram(
+            n_mels=prep.num_mels, sample_rate=prep.sample_rate
+        )
+        kwargs["gst_reference_mel"] = jnp.asarray(mel_fn(ref_wav))[None]
 
     params, model_state, _ = load_tacotron_checkpoint(checkpoint)
     model = build_model(cfg)

@@ -165,7 +165,8 @@ def test_cli_surface():
         assert cmd.replace("-", "_") in r.output.replace("-", "_")
     r = CliRunner().invoke(cli.main, ["say", "--help"], obj={})
     for flag in ("--checkpoint", "--text", "--out", "--hifi-gan-checkpoint",
-                 "--random-seed", "--speaker-id", "--controls", "--description"):
+                 "--random-seed", "--speaker-id", "--controls", "--description",
+                 "--bert-checkpoint", "--gst-reference"):
         assert flag in r.output
 
 
