@@ -339,18 +339,22 @@ class Tacotron2:
                 use_pallas = False  # no GSPMD rule for pallas_call
             if use_pallas:
                 if pallas_bwd is None:
-                    # the reverse-scan kernel is compiler-clean up to B=32
-                    # (beyond that its B8-wide relayout fan-out crashes the
-                    # Mosaic compile helper); larger batches — or long-char
-                    # batches whose bigger backward resident set would blow
-                    # VMEM (pallas_bwd_supported) — keep the XLA hoisted
-                    # reverse scan behind the Pallas forward. Both gates use
-                    # the PER-SHARD batch on multi-device meshes.
+                    # the reverse-scan kernel is compiler-clean up to B8=32;
+                    # larger batches run it BATCH-CHUNKED (sequential ≤32-row
+                    # launches, weight grads summed — _bwd_impl_pallas), which
+                    # measured faster than the XLA hoisted reverse scan at
+                    # B=64 (88.2 vs 97.8 ms/step) and B=128 (182.5 vs 189.0,
+                    # PERF.md r3). Long-char batches whose backward resident
+                    # set would blow VMEM (pallas_bwd_supported, evaluated at
+                    # the ≤32-row chunk size) fall back to the XLA reverse
+                    # scan. Gates use the PER-SHARD batch on multi-device
+                    # meshes; interpret mode (CPU) has no VMEM constraint.
                     pallas_bwd = (
                         "pallas"
-                        if B_eff <= 32 and (on_cpu or pallas_bwd_supported(
-                            cfg, self.policy, B_eff, max_chars=chars_idx.shape[1]
-                        ))
+                        if on_cpu or pallas_bwd_supported(
+                            cfg, self.policy, min(B_eff, 32),
+                            max_chars=chars_idx.shape[1],
+                        )
                         else "xla"
                     )
                 if multi:

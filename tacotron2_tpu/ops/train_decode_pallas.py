@@ -784,12 +784,82 @@ def _teacher_bwd_kernel(
 
 def _bwd_impl_pallas(policy, train, interpret, saved, cots):
     """Pallas reverse scan + XLA epilogue. Returns the identical cotangent
-    structure as train_scan._vjp_bwd."""
+    structure as train_scan._vjp_bwd.
+
+    BATCH-CHUNKED past B=32: the Mosaic compile helper crashes on the
+    B8=64 kernel (cumulative-complexity ceiling, CLAUDE.md), but the
+    backward's per-batch-row work is INDEPENDENT — the recurrent carries
+    are per-row and the weight-gradient accumulators are plain batch sums
+    — so a large batch runs as ⌈B/32⌉ sequential calls of the verified
+    B≤32 kernel: weight grads sum, per-row cotangents concatenate. Each
+    chunk re-loads the ~42 MB weight block into VMEM (~50 µs at HBM
+    bandwidth — negligible vs the ~20 ms chunk body). The one coupling is
+    the LSTM dropout masks: they are drawn per step for the FULL batch
+    (train_scan._dropout_masks over (B, H)), so chunks must see their
+    ROWS of the full draw — masks are generated here once and sliced."""
     import numpy as np
 
     (stash, w1, w2, small, encoded, att_encoded, mask, controls,
      din_shape, _no_ctrl) = saved
     d_mels, d_gates_out, d_aligns = cots
+    T, B, P = din_shape
+    H = stash["c_att_prev"].shape[-1]
+    step_keys = stash["step_keys"]
+
+    def masks_full(key):
+        return train_scan._dropout_masks(key, (B, H), train)
+
+    dm1, dm2 = jax.vmap(masks_full)(step_keys)  # (T, B, H) each
+
+    if B <= 32:
+        return _bwd_chunk(
+            policy, interpret, stash, w1, w2, small, encoded, att_encoded,
+            mask, controls, din_shape, dm1, dm2,
+            d_mels, d_gates_out, d_aligns,
+        )
+
+    chunks = []
+    for c0 in range(0, B, 32):
+        c1 = min(c0 + 32, B)
+        stash_c = {
+            k: (v if k == "step_keys" else v[:, c0:c1])
+            for k, v in stash.items()
+        }
+        ctrl_c = None if controls is None else controls[c0:c1]
+        chunks.append(_bwd_chunk(
+            policy, interpret, stash_c, w1, w2, small,
+            encoded[c0:c1], att_encoded[c0:c1], mask[c0:c1], ctrl_c,
+            (T, c1 - c0, P), dm1[:, c0:c1], dm2[:, c0:c1],
+            d_mels[:, c0:c1], d_gates_out[:, c0:c1], d_aligns[:, c0:c1],
+        ))
+
+    def cat0(xs):
+        return jnp.concatenate(xs, axis=0)
+
+    dw1 = sum(c[0] for c in chunks[1:]) + chunks[0][0]
+    dw2 = sum(c[1] for c in chunks[1:]) + chunks[0][1]
+    d_small = jax.tree.map(lambda *xs: sum(xs[1:]) + xs[0], *[c[2] for c in chunks])
+    d_prenet = jnp.concatenate([c[3] for c in chunks], axis=1)
+    d_keys = chunks[0][4]
+    d_enc = cat0([c[5] for c in chunks])
+    d_attenc = cat0([c[6] for c in chunks])
+    d_mask = np.zeros(mask.shape, jax.dtypes.float0)
+    d_ctrl = None if controls is None else cat0([c[8] for c in chunks])
+    d_init_state = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *[c[9] for c in chunks]
+    )
+    return (dw1, dw2, d_small, d_prenet, d_keys, d_enc, d_attenc, d_mask,
+            d_ctrl, d_init_state)
+
+
+def _bwd_chunk(policy, interpret, stash, w1, w2, small, encoded,
+               att_encoded, mask, controls, din_shape, dm1, dm2,
+               d_mels, d_gates_out, d_aligns):
+    """One ≤32-row backward kernel launch (see _bwd_impl_pallas). ``stash``
+    arrays carry the chunk's batch rows (possibly already B8-padded when
+    called unchunked); dropout masks arrive pre-drawn for these rows."""
+    import numpy as np
+
     T, B, P = din_shape
     H = stash["c_att_prev"].shape[-1]
     D = encoded.shape[-1]
@@ -799,7 +869,7 @@ def _bwd_impl_pallas(policy, train, interpret, saved, cots):
     Lc = encoded.shape[1]
     L = stash["w_prev"].shape[-1]
     LB = _round_up(L + 47, 128)
-    B8 = stash["c_att_prev"].shape[1]
+    B8 = _round_up(B, 8)
     R1 = P + D + H
     R2k = 2 * H + D + E
     R3 = H + D + E
@@ -810,15 +880,17 @@ def _bwd_impl_pallas(policy, train, interpret, saved, cots):
     packed = _pack_training_weights(w1, w2, small, H=H, D=D, P=P, E=E, C=C, M=M, dt=dt)
     step_keys = stash["step_keys"]
 
-    def masks_for(key):
-        return train_scan._dropout_masks(key, (B, H), train)
-
-    dm1, dm2 = jax.vmap(masks_for)(step_keys)
-
     def pad_to(x, axis, size):
         pad = [(0, 0)] * x.ndim
         pad[axis] = (0, size - x.shape[axis])
         return jnp.pad(x, pad)
+
+    # chunked calls pass real-row slices; pad the per-t stacks back to B8
+    # (no-op when the stash arrives kernel-padded from the forward)
+    stash = {
+        k: (v if k == "step_keys" else pad_to(v, 1, B8))
+        for k, v in stash.items()
+    }
 
     dm1 = pad_to(dm1, 1, B8)
     dm2 = pad_to(dm2, 1, B8)

@@ -99,3 +99,47 @@ def test_ccc_loss():
     assert float(ccc(x, x)) < 1e-5  # perfect agreement -> loss 0
     assert float(ccc(x, -x)) > 1.5  # anti-correlated -> loss ~2
     assert float(ccc(x, x + 10.0)) > 0.5  # mean shift penalized
+
+
+def test_diagnostics_catch_broken_mask():
+    """tools/tpu_smoke.py's health gates (VERDICT r2 #8): the pad-mass
+    metric must flag attention leaking onto padded char positions (the
+    deliberately-broken-mask regression), pass a clean masked alignment,
+    and the diagonality metric must separate diagonal from uniform."""
+    import numpy as np
+
+    from tacotron2_tpu.utils.diagnostics import alignment_metrics, gate_accuracy
+
+    B, T, L = 2, 12, 10
+    chars_len = np.array([6, 8])
+    mel_len = np.array([12, 10])
+
+    # broken mask: softmax ran over ALL L positions (uniform)
+    broken = np.full((B, T, L), 1.0 / L)
+    m = alignment_metrics(broken, chars_len, mel_len)
+    assert m["pad_mass"] > 0.1  # 4/10 resp. 2/10 of the mass on pads
+
+    # clean: uniform over the VALID positions only
+    clean = np.zeros((B, T, L))
+    for b in range(B):
+        clean[b, :, : chars_len[b]] = 1.0 / chars_len[b]
+    m2 = alignment_metrics(clean, chars_len, mel_len)
+    assert m2["pad_mass"] < 1e-12
+
+    # diagonal attention scores far better diagonality than uniform
+    diag = np.zeros((B, T, L))
+    for b in range(B):
+        ml = int(mel_len[b])
+        for t in range(ml):
+            pos = int(round(t / (ml - 1) * (chars_len[b] - 1)))
+            diag[b, t, pos] = 1.0
+    m3 = alignment_metrics(diag, chars_len, mel_len)
+    assert m3["diagonality"] < 0.05 < m2["diagonality"]
+    assert m3["entropy"] < 0.01
+
+    # gate sign accuracy
+    gates = np.full((B, T, 1), 3.0)
+    gates[0, 5] = -2.0  # one wrong frame in 12+10 valid
+    target = np.ones((B, T, 1))
+    acc = gate_accuracy(gates, target, mel_len)
+    np.testing.assert_allclose(acc, 21 / 22)

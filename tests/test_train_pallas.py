@@ -337,3 +337,37 @@ def test_vmem_guards_flagship():
     assert not pallas_bwd_supported(flagship, bf16, 32, max_chars=512)
     # f32 policy never dispatches to the kernels
     assert not pallas_train_supported(flagship, Policy.from_string("32-true"), 32)
+
+
+def test_pallas_bwd_batch_chunked_grads():
+    """B > 32 backward: the Mosaic kernel is gated to B8<=32, so larger
+    batches run as sequential <=32-row chunk launches whose weight grads
+    sum and per-row cotangents concatenate (_bwd_impl_pallas). B=34 forces
+    two UNEVEN chunks (32 + 2 -> repadded to 8); gradients must match the
+    verified XLA hoisted reverse scan behind the same Pallas forward."""
+    model = Tacotron2(Tacotron2Config(**CFG), Policy.from_string("32-true"))
+    params, state = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    B, L, T = 34, 9, 10
+    batch = {
+        "chars_idx": jnp.asarray(rng.integers(1, 16, size=(B, L)).astype(np.int64)),
+        "chars_len": jnp.asarray([9, 6] * 17),
+        "mel": jnp.asarray(rng.standard_normal((B, T, 16)).astype(np.float32) * 0.5),
+        "mel_len": jnp.asarray([T, T - 4] * 17),
+        "gate": jnp.ones((B, T, 1), jnp.float32),
+    }
+    key = jax.random.PRNGKey(23)
+    g_xla = jax.grad(_loss_fn(
+        model, state, batch, pallas_train=True, pallas_bwd="xla"
+    ))(params, key)
+    g_chunk = jax.grad(_loss_fn(
+        model, state, batch, pallas_train=True, pallas_bwd="pallas"
+    ))(params, key)
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(g_xla), jax.tree.leaves(g_chunk)
+    ):
+        scale = max(float(np.abs(np.asarray(a)).max()), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=3e-5 * scale + 1e-7,
+            err_msg=f"chunked-bwd grad mismatch at {jax.tree_util.keystr(path)}",
+        )

@@ -59,6 +59,55 @@ def main(workdir: str = "/tmp/tacotron2_tpu_smoke") -> None:
     ckpt = do_train(cfg, raw, 0, "speech", "results", None, log_every=5)
     print("TRAIN OK:", ckpt, flush=True)
 
+    # --- convergence / health gates (VERDICT r2 #8): catch the regression
+    # class gradient-agreement tests can't — wrong data, wrong masking,
+    # wrong schedule all produce self-consistent gradients ---------------
+    from tacotron2_tpu.utils.diagnostics import (
+        alignment_metrics,
+        gate_accuracy,
+        tb_scalar_series,
+    )
+
+    losses = tb_scalar_series("results/lightning_logs/tpu-smoke*", "training_loss")
+    first, last = losses[0][1], losses[-1][1]
+    assert last < 0.7 * first, (
+        f"training loss did not drop: {first:.3f} -> {last:.3f} "
+        f"(expected >= 30% drop in {len(losses)} logged steps)"
+    )
+    print(f"LOSS-DROP OK: {first:.3f} -> {last:.3f}", flush=True)
+
+    import jax
+
+    from run.common import build_model, load_tacotron_checkpoint
+    from tacotron2_tpu.data import TTSDataLoader, TTSDataset
+
+    params, model_state, _ = load_tacotron_checkpoint(ckpt)
+    model = build_model(cfg)
+    prep = cfg.dataset.preprocessing
+    ds = TTSDataset(
+        filenames=[f"u{i}.wav" for i in range(8)],
+        texts=[r.split("|")[0] for r in rows],
+        base_dir="speech",
+        allowed_chars=prep.allowed_chars, end_token=prep.end_token,
+        num_mels=prep.num_mels, trim=False, cache=False,
+    )
+    batch = next(iter(TTSDataLoader(ds, batch_size=8, shuffle=False)))
+    out, _ = model.forward_teacher(
+        params, model_state, batch["chars_idx"], batch["chars_len"],
+        batch["mel"], batch["mel_len"], rng=jax.random.PRNGKey(0), train=False,
+    )
+    am = alignment_metrics(out.alignments, batch["chars_len"], batch["mel_len"])
+    ga = gate_accuracy(out.gates, batch["gate"], batch["mel_len"])
+    print(f"HEALTH: pad_mass={am['pad_mass']:.2e} diagonality="
+          f"{am['diagonality']:.3f} entropy={am['entropy']:.2f} "
+          f"gate_acc={ga:.3f}", flush=True)
+    # the mask gate is unconditional (broken masking shows up untrained);
+    # gate accuracy converges within the 15 smoke steps (BCE on almost-
+    # all-ones targets); diagonality needs real training -> report only
+    assert am["pad_mass"] < 1e-3, f"attention mass on padded chars: {am}"
+    assert ga > 0.8, f"gate accuracy {ga:.3f} <= 0.8 after training"
+    print("HEALTH OK", flush=True)
+
     from run.say import do_say
 
     do_say(cfg, 0, ckpt, "hello from the accelerator", "out.wav",
