@@ -550,14 +550,22 @@ class Tacotron2:
         self, params, state, chars_idx, chars_len, max_len: int, rng, **kw
     ) -> Tacotron2Output:
         """Production decode dispatch: the fused Pallas kernel with the
-        full-residency default (2-3.7x faster than the XLA while_loop on
-        v5e across batch 1-32, PERF.md; bit-comparable — same bf16 matmul
+        full-residency default (1.6-3.7x faster than the XLA while_loop on
+        v5e across batch 1-64, PERF.md; bit-comparable — same bf16 matmul
         class) when the config/backend supports it; otherwise the XLA
-        while_loop parity path. Used by say/test/server."""
+        while_loop parity path. Used by say/test/server.
+
+        Measured batch ceiling (tools/decode_batch_ceiling.py, r3): the
+        bf16 kernel wins through B=64 (32.2 vs 50.2 µs/step) but its
+        attention epilogue hits the Mosaic compile ceiling at B8=128, so
+        B>64 serves through the XLA while_loop (77.7 µs at B=128; the
+        opt-in int8 kernel still compiles there — 53.8 µs — but it is the
+        approximate mode, so it stays opt-in via ``quantize``)."""
         cfg = self.cfg
         fused_ok = (
             cfg.att_rnn_dim == cfg.rnn_hidden_dim
             and 4 * cfg.att_rnn_dim >= 1024
+            and chars_idx.shape[0] <= 64
             and jax.default_backend() != "cpu"
         )
         if fused_ok:
