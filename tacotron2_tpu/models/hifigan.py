@@ -107,6 +107,51 @@ class HiFiGAN:
         return params
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _fold_conv(params, k: int, d: int, C: int, s: int):
+        """Rewrite a SAME-padded dilated conv (k, C, C) for the s-phase
+        FOLDED layout (L, C) -> (L/s, s*C) — space-to-depth so small-
+        channel convs fill the 128-lane MXU (PERF.md: stage 4 of the
+        UNIVERSAL_V1 MRF runs at 4.2% MFU with ch=32). Algebraically
+        exact: y4[t', j*C+o] = y[s*t'+j, o].
+
+        Derivation: y[t,o] = b[o] + Σ_κΣ_i W[κ,i,o] x[t+κd-p, i] with
+        p = d(k-1)/2. With t = s t' + j and q = j + κd - p = s δ + r
+        (δ = floor(q/s)), each (κ, j) contributes W[κ] into folded-weight
+        block W4[δ, r-block, j-block]."""
+        w, b = params["w"], params["b"]
+        p = (k * d - d) // 2
+        qs = [(kk, j, j + kk * d - p) for kk in range(k) for j in range(s)]
+        dmin = min(q // s for _, _, q in qs)
+        dmax = max(q // s for _, _, q in qs)
+        k4 = dmax - dmin + 1
+        w4 = jnp.zeros((k4, s * C, s * C), w.dtype)
+        for kk, j, q in qs:
+            dlt, r = q // s, q % s
+            w4 = w4.at[dlt - dmin, r * C : (r + 1) * C, j * C : (j + 1) * C].add(w[kk])
+        return {"w": w4, "b": jnp.tile(b, s)}, [(-dmin, dmax)]
+
+    def _resblock_folded(self, rb, x4, kernel: int, dilations: Sequence[int],
+                         C: int, s: int):
+        """_resblock on the s-phase folded layout (exact rewrite)."""
+        pol = self.policy
+        if self.cfg.resblock == "1":
+            for j, d in enumerate(dilations):
+                w1, pad1 = self._fold_conv(rb["convs1"][j], kernel, d, C, s)
+                w2, pad2 = self._fold_conv(rb["convs2"][j], kernel, 1, C, s)
+                xt = jax.nn.leaky_relu(x4, LRELU_SLOPE)
+                xt = layers.conv1d_apply(w1, xt, pol, padding=pad1)
+                xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
+                xt = layers.conv1d_apply(w2, xt, pol, padding=pad2)
+                x4 = xt + x4
+        else:
+            for j, d in enumerate(dilations):
+                wf, padf = self._fold_conv(rb["convs"][j], kernel, d, C, s)
+                xt = jax.nn.leaky_relu(x4, LRELU_SLOPE)
+                xt = layers.conv1d_apply(wf, xt, pol, padding=padf)
+                x4 = xt + x4
+        return x4
+
     def _resblock(self, rb, x, kernel: int, dilations: Sequence[int]):
         pol = self.policy
         if self.cfg.resblock == "1":
@@ -123,27 +168,49 @@ class HiFiGAN:
                 x = xt + x
         return x
 
-    def apply(self, params, mel: jnp.ndarray) -> jnp.ndarray:
+    def apply(self, params, mel: jnp.ndarray, fold: bool = False) -> jnp.ndarray:
         """mel (B, T, num_mels) -> wav (B, T * total_upsample).
 
         (The reference takes (B, num_mels, T) and returns (B, 1, samples);
         we are channels-last end to end.)
-        """
+
+        ``fold``: phase-fold (space-to-depth) the MRF at stages whose
+        channel count is below the 128-lane MXU width — an exact algebraic
+        rewrite (gated by a CPU equality test) that was TRIED as the fix
+        for the late stages' channel-starved MXU tiles and MEASURED SLOWER
+        (34.5 vs 25.5 µs/frame, ABAB on v5e): dilation spreads taps across
+        ⌈(k−1)d/s⌉+1 folded kernel positions, so the dense folded weights
+        carry ~4-5.5× the FLOPs, cancelling the ~4× utilization gain.
+        Default OFF; kept as the documented experiment (PERF.md)."""
         cfg, pol = self.cfg, self.policy
         num_kernels = len(cfg.resblock_kernel_sizes)
 
         x = layers.conv1d_apply(params["conv_pre"], mel, pol, padding=3)
+        ch = cfg.upsample_initial_channel
         for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
             x = jax.nn.leaky_relu(x, LRELU_SLOPE)
             x = layers.conv_transpose1d_apply(params["ups"][i], x, stride=u, padding=(k - u) // 2, policy=pol)
+            ch //= 2
+            L = x.shape[1]
+            s = 128 // ch if (fold and ch < 128 and L % (128 // ch) == 0) else 1
+            if s > 1:
+                x = x.reshape(x.shape[0], L // s, s * ch)
             acc = None
             for j in range(num_kernels):
                 rb = params["resblocks"][i * num_kernels + j]
-                y = self._resblock(
-                    rb, x, cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j]
-                )
+                if s > 1:
+                    y = self._resblock_folded(
+                        rb, x, cfg.resblock_kernel_sizes[j],
+                        cfg.resblock_dilation_sizes[j], ch, s,
+                    )
+                else:
+                    y = self._resblock(
+                        rb, x, cfg.resblock_kernel_sizes[j], cfg.resblock_dilation_sizes[j]
+                    )
                 acc = y if acc is None else acc + y
             x = acc / num_kernels
+            if s > 1:
+                x = x.reshape(x.shape[0], L, ch)
         x = jax.nn.leaky_relu(x)  # default slope 0.01 (model/hifi_gan.py:203)
         x = layers.conv1d_apply(params["conv_post"], x, pol, padding=3)
         return jnp.tanh(x)[..., 0]

@@ -71,3 +71,30 @@ def test_hifigan_parity_resblock2():
 def test_hifigan_output_length_formula():
     ours = HiFiGAN(HiFiGANConfig.from_dict(H))
     assert ours.cfg.total_upsample == 16
+
+
+def test_fold_rewrite_exact():
+    """The phase-folded MRF rewrite (HiFiGAN._fold_conv, a measured-and-
+    reverted experiment kept behind apply(fold=True)) must stay
+    algebraically exact vs the unfolded path — both resblock types, fold
+    factors 2..16."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tacotron2_tpu.models.hifigan import HiFiGAN, HiFiGANConfig
+    from tacotron2_tpu.models.layers import Policy
+
+    mel = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 32, 80)).astype(np.float32)
+    )
+    for kwargs in (
+        dict(upsample_initial_channel=128),
+        dict(resblock="2", upsample_initial_channel=64,
+             resblock_kernel_sizes=(3, 5), resblock_dilation_sizes=((1, 3), (1, 3))),
+    ):
+        m = HiFiGAN(HiFiGANConfig(**kwargs), Policy.from_string("32-true"))
+        p = m.init(jax.random.PRNGKey(0))
+        a = np.asarray(m.apply(p, mel, fold=False))
+        b = np.asarray(m.apply(p, mel, fold=True))
+        np.testing.assert_allclose(b, a, atol=1e-6 * max(np.abs(a).max(), 1e-3))
