@@ -547,7 +547,8 @@ class Tacotron2:
 
     # ------------------------------------------------------------------
     def forward_infer_fast(
-        self, params, state, chars_idx, chars_len, max_len: int, rng, **kw
+        self, params, state, chars_idx, chars_len, max_len: int, rng,
+        shard_mesh=None, **kw
     ) -> Tacotron2Output:
         """Production decode dispatch: the fused Pallas kernel with the
         full-residency default (1.6-3.7x faster than the XLA while_loop on
@@ -562,15 +563,22 @@ class Tacotron2:
         opt-in int8 kernel still compiles there — 53.8 µs — but it is the
         approximate mode, so it stays opt-in via ``quantize``)."""
         cfg = self.cfg
+        B = chars_idx.shape[0]
+        n_shards = 1
+        if (shard_mesh is not None and shard_mesh.size > 1
+                and shard_mesh.shape.get("model", 1) == 1
+                and B % shard_mesh.shape.get("data", 1) == 0):
+            n_shards = shard_mesh.shape["data"]
         fused_ok = (
             cfg.att_rnn_dim == cfg.rnn_hidden_dim
             and 4 * cfg.att_rnn_dim >= 1024
-            and chars_idx.shape[0] <= 64
+            and B // n_shards <= 64
             and jax.default_backend() != "cpu"
         )
         if fused_ok:
             return self.forward_infer_fused(
-                params, state, chars_idx, chars_len, max_len, rng=rng, **kw
+                params, state, chars_idx, chars_len, max_len, rng=rng,
+                shard_mesh=shard_mesh, **kw
             )
         return self.forward_infer(
             params, state, chars_idx, chars_len, max_len, rng=rng, **kw
@@ -606,6 +614,7 @@ class Tacotron2:
         packed=None,
         resident_cols: Optional[int] = None,
         chunk_width: Optional[int] = None,
+        shard_mesh=None,  # jax.sharding.Mesh: batch-sharded multi-chip decode
     ) -> Tacotron2Output:
         """Free-running decode through the fused Pallas kernel
         (tacotron2_tpu.ops.decoder_loop_pallas) — the TPU fast path. Same
@@ -627,6 +636,17 @@ class Tacotron2:
         # the Mosaic kernel only exists for TPU; on CPU fall back to the
         # (bit-equivalent) interpreter so callers don't need to care
         interpret = interpret or jax.default_backend() == "cpu"
+        # multi-chip serving (SURVEY §2.8): the fused kernel runs per data
+        # shard under jax.shard_map — each shard decodes its B/ndev rows
+        # with its OWN early stop (no global all(done) sync, unlike the
+        # GSPMD while_loop path). TP meshes / indivisible batches keep the
+        # single-program path.
+        n_shards = 1
+        if (shard_mesh is not None and shard_mesh.size > 1
+                and shard_mesh.shape.get("model", 1) == 1
+                and B % shard_mesh.shape.get("data", 1) == 0):
+            n_shards = shard_mesh.shape["data"]
+        B_local = B // n_shards
         rng, enc_rng, pre_rng = jax.random.split(rng, 3)
         style = self._infer_style(params, state, B, gst_reference_mel)
         encoded, att_encoded, mask, _ = self._encode(
@@ -635,7 +655,7 @@ class Tacotron2:
         )
         if packed is None:
             if resident_cols is None:
-                resident_cols = self.default_resident_cols(quantize, batch=B)
+                resident_cols = self.default_resident_cols(quantize, batch=B_local)
             packed = pack_decoder_params(
                 params, cfg.num_mels, cfg.encoded_full_dim, cfg.att_rnn_dim,
                 cfg.rnn_hidden_dim, cfg.prenet_dim, cfg.controls_dim,
@@ -661,14 +681,39 @@ class Tacotron2:
         loop = FusedDecodeLoop(
             num_mels=cfg.num_mels, encoded_full_dim=cfg.encoded_full_dim,
             att_rnn_dim=cfg.att_rnn_dim, prenet_dim=cfg.prenet_dim,
-            att_dim=cfg.att_dim, max_chars=L, batch=B,
+            att_dim=cfg.att_dim, max_chars=L, batch=B_local,
             controls_dim=cfg.controls_dim, dropout=cfg.dropout,
             interpret=interpret, chunk_width=cw, resident_cols=resident_cols,
         )
-        mels, gates, aligns, lengths, exec_steps = loop.decode(
-            packed, encoded, att_encoded, mask, max_len,
-            rng=pre_rng, controls=controls, prenet_dropout=prenet_dropout,
-        )
+        if n_shards > 1:
+            from jax.sharding import PartitionSpec as PS
+
+            def local_decode(packed_, enc_, att_, msk_, ctl_):
+                # independent prenet-dropout stream per shard
+                r = jax.random.fold_in(pre_rng, jax.lax.axis_index("data"))
+                m, g, a, ln, es = loop.decode(
+                    packed_, enc_, att_, msk_, max_len,
+                    rng=r, controls=ctl_, prenet_dropout=prenet_dropout,
+                )
+                return m, g, a, ln, es[None]
+
+            mels, gates, aligns, lengths, exec_steps = jax.shard_map(
+                local_decode, mesh=shard_mesh,
+                in_specs=(
+                    jax.tree.map(lambda _: PS(), packed),
+                    PS("data"), PS("data"), PS("data"),
+                    None if controls is None else PS("data"),
+                ),
+                out_specs=(PS("data"), PS("data"), PS("data"), PS("data"),
+                           PS("data")),
+                check_vma=False,
+            )(packed, encoded, att_encoded, mask, controls)
+            exec_steps = jnp.max(exec_steps)
+        else:
+            mels, gates, aligns, lengths, exec_steps = loop.decode(
+                packed, encoded, att_encoded, mask, max_len,
+                rng=pre_rng, controls=controls, prenet_dropout=prenet_dropout,
+            )
         post, _ = postnet_mod.apply(
             params["postnet"], state["postnet"], mels, False, cfg.dropout, None, self.policy
         )

@@ -254,3 +254,35 @@ def test_dp_pallas_full_train_step_runs():
         ts.params, ts2.params,
     )
     assert max(jax.tree.leaves(moved)) > 0.0
+
+
+def test_dp_fused_decode_shard_map_matches_single():
+    """Multi-chip serving: the fused decode kernel per data shard via
+    shard_map (each shard early-stops on its OWN rows — no global
+    all(done) sync). Interpret mode on the CPU mesh; outputs must match
+    the single-program fused decode (dropout off for exactness)."""
+    model = Tacotron2(CFG)
+    params, state = model.init(jax.random.PRNGKey(2))
+    params["decoder"]["gate"]["b"] = jnp.full_like(params["decoder"]["gate"]["b"], 5.0)
+    rng = np.random.default_rng(3)
+    chars = jnp.asarray(rng.integers(1, 12, size=(8, 8)))
+    lens = jnp.asarray([8, 6, 8, 5, 8, 7, 8, 8])
+
+    single = model.forward_infer_fused(
+        params, state, chars, lens, 16, rng=jax.random.PRNGKey(0),
+        prenet_dropout=False, interpret=True,
+    )
+
+    mesh = make_mesh()
+    p2 = place_params(params, mesh)
+    s2 = place_replicated(state, mesh)
+    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    sharded = model.forward_infer_fused(
+        p2, s2, jax.device_put(chars, sh), jax.device_put(lens, sh), 16,
+        rng=jax.random.PRNGKey(0), prenet_dropout=False, interpret=True,
+        shard_mesh=mesh,
+    )
+    np.testing.assert_array_equal(np.asarray(single.lengths), np.asarray(sharded.lengths))
+    np.testing.assert_allclose(
+        np.asarray(sharded.mels_post), np.asarray(single.mels_post), atol=2e-5
+    )
