@@ -565,14 +565,21 @@ class Tacotron2:
         cfg = self.cfg
         B = chars_idx.shape[0]
         n_shards = 1
-        if (shard_mesh is not None and shard_mesh.size > 1
-                and shard_mesh.shape.get("model", 1) == 1
-                and B % shard_mesh.shape.get("data", 1) == 0):
-            n_shards = shard_mesh.shape["data"]
+        unshardable_mesh = False
+        if shard_mesh is not None and shard_mesh.size > 1:
+            if (shard_mesh.shape.get("model", 1) == 1
+                    and B % shard_mesh.shape.get("data", 1) == 0):
+                n_shards = shard_mesh.shape["data"]
+            else:
+                # GSPMD has no partitioning rule for pallas_call — it would
+                # all-gather and run the kernel REPLICATED on every device;
+                # the XLA while_loop partitions cleanly instead
+                unshardable_mesh = True
         fused_ok = (
             cfg.att_rnn_dim == cfg.rnn_hidden_dim
             and 4 * cfg.att_rnn_dim >= 1024
             and B // n_shards <= 64
+            and not unshardable_mesh
             and jax.default_backend() != "cpu"
         )
         if fused_ok:
