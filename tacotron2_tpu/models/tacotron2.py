@@ -326,8 +326,9 @@ class Tacotron2:
             multi = shard_mesh is not None and shard_mesh.size > 1
             shardable = (
                 multi
+                and "data" in shard_mesh.shape
                 and shard_mesh.shape.get("model", 1) == 1
-                and B % shard_mesh.shape.get("data", 1) == 0
+                and B % shard_mesh.shape["data"] == 0
             )
             B_eff = B // shard_mesh.shape["data"] if shardable else B
             use_pallas = pallas_train
@@ -567,8 +568,9 @@ class Tacotron2:
         n_shards = 1
         unshardable_mesh = False
         if shard_mesh is not None and shard_mesh.size > 1:
-            if (shard_mesh.shape.get("model", 1) == 1
-                    and B % shard_mesh.shape.get("data", 1) == 0):
+            if ("data" in shard_mesh.shape
+                    and shard_mesh.shape.get("model", 1) == 1
+                    and B % shard_mesh.shape["data"] == 0):
                 n_shards = shard_mesh.shape["data"]
             else:
                 # GSPMD has no partitioning rule for pallas_call — it would
@@ -650,8 +652,9 @@ class Tacotron2:
         # single-program path.
         n_shards = 1
         if (shard_mesh is not None and shard_mesh.size > 1
+                and "data" in shard_mesh.shape
                 and shard_mesh.shape.get("model", 1) == 1
-                and B % shard_mesh.shape.get("data", 1) == 0):
+                and B % shard_mesh.shape["data"] == 0):
             n_shards = shard_mesh.shape["data"]
         B_local = B // n_shards
         rng, enc_rng, pre_rng = jax.random.split(rng, 3)

@@ -811,11 +811,21 @@ def _bwd_impl_pallas(policy, train, interpret, saved, cots):
 
     dm1, dm2 = jax.vmap(masks_full)(step_keys)  # (T, B, H) each
 
+    # pack the weight block ONCE — chunk-invariant, like the masks (don't
+    # rely on XLA CSE to dedupe ceil(B/32) identical ~42 MB pack subgraphs)
+    D = encoded.shape[-1]
+    M = small["mel_out"]["w"].shape[1]
+    C = 0 if controls is None else controls.shape[-1]
+    E = _round_up(max(C, 1), 16)
+    packed = _pack_training_weights(
+        w1, w2, small, H=H, D=D, P=P, E=E, C=C, M=M, dt=policy.compute_dtype
+    )
+
     if B <= 32:
         return _bwd_chunk(
             policy, interpret, stash, w1, w2, small, encoded, att_encoded,
             mask, controls, din_shape, dm1, dm2,
-            d_mels, d_gates_out, d_aligns,
+            d_mels, d_gates_out, d_aligns, packed,
         )
 
     chunks = []
@@ -831,6 +841,7 @@ def _bwd_impl_pallas(policy, train, interpret, saved, cots):
             encoded[c0:c1], att_encoded[c0:c1], mask[c0:c1], ctrl_c,
             (T, c1 - c0, P), dm1[:, c0:c1], dm2[:, c0:c1],
             d_mels[:, c0:c1], d_gates_out[:, c0:c1], d_aligns[:, c0:c1],
+            packed,
         ))
 
     def cat0(xs):
@@ -854,10 +865,11 @@ def _bwd_impl_pallas(policy, train, interpret, saved, cots):
 
 def _bwd_chunk(policy, interpret, stash, w1, w2, small, encoded,
                att_encoded, mask, controls, din_shape, dm1, dm2,
-               d_mels, d_gates_out, d_aligns):
+               d_mels, d_gates_out, d_aligns, packed):
     """One ≤32-row backward kernel launch (see _bwd_impl_pallas). ``stash``
     arrays carry the chunk's batch rows (possibly already B8-padded when
-    called unchunked); dropout masks arrive pre-drawn for these rows."""
+    called unchunked); dropout masks and the packed weight block arrive
+    pre-built (chunk-invariant)."""
     import numpy as np
 
     T, B, P = din_shape
@@ -877,7 +889,6 @@ def _bwd_chunk(policy, interpret, stash, w1, w2, small, encoded,
     dt = policy.compute_dtype
     A = small["attention"]["query"]["w"].shape[1]
 
-    packed = _pack_training_weights(w1, w2, small, H=H, D=D, P=P, E=E, C=C, M=M, dt=dt)
     step_keys = stash["step_keys"]
 
     def pad_to(x, axis, size):

@@ -56,6 +56,13 @@ def main(workdir: str = "/tmp/tacotron2_tpu_smoke") -> None:
 
     from run.train import do_train
 
+    # fresh results dir: a rerun in the same workdir would APPEND a second
+    # TB event file and the loss-drop gate below would compare scalars
+    # across different runs (EventAccumulator's restart purge is
+    # nondeterministic about which survive)
+    import shutil
+
+    shutil.rmtree("results", ignore_errors=True)
     ckpt = do_train(cfg, raw, 0, "speech", "results", None, log_every=5)
     print("TRAIN OK:", ckpt, flush=True)
 
