@@ -182,11 +182,14 @@ def test(ctx, speech_dir, checkpoint, hifi_gan_checkpoint):
 @click.option("--speech-dir", required=True, type=str)
 @click.option("--checkpoint", required=True, type=str)
 @click.option("--hifi-gan-checkpoint", required=False, type=str, default=None)
-def test_correlation(ctx, speech_dir, checkpoint, hifi_gan_checkpoint):
+@click.option("--analyze/--no-analyze", default=True,
+              help="After the sweep, correlate control values with extracted acoustic features (correlations.csv). The reference leaves this step out-of-repo.")
+def test_correlation(ctx, speech_dir, checkpoint, hifi_gan_checkpoint, analyze):
     cfg = _require_config(ctx, "testing")
     from run.test_correlation import do_test_correlation
 
-    do_test_correlation(cfg, ctx.obj["device"], speech_dir, checkpoint, hifi_gan_checkpoint)
+    do_test_correlation(cfg, ctx.obj["device"], speech_dir, checkpoint,
+                        hifi_gan_checkpoint, analyze=analyze)
 
 
 @main.command()

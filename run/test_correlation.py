@@ -3,8 +3,14 @@
 Grid-sweeps each control dimension over -1..1 step 0.2 (one-hot
 perturbations of a zero vector, deduped — :43-49), samples 200 utterances
 per speaker (random_state 9001 — :84-91), synthesizes each utterance under
-each override into ``results_.../(override tuple)/``. The downstream
-acoustic-correlation analysis is out-of-repo, like the reference.
+each override into ``results_.../(override tuple)/``.
+
+BEYOND-REFERENCE: the reference leaves the acoustic-correlation analysis
+out-of-repo (its thesis ran Praat externally); this framework owns a
+Praat-parity prosody extractor (audio/prosody.py + native/prosody.cpp), so
+``analyze_correlations`` closes the loop — per control dimension, the
+Pearson correlation of the override value against every extracted acoustic
+feature over the synthesized sweep, written to ``correlations.csv``.
 """
 
 from __future__ import annotations
@@ -31,7 +37,10 @@ MAX_LEN = 5000
 def control_overrides(num_controls: int):
     """The deduped one-hot sweep set (run/test_correlation.py:43-49)."""
     overrides = set()
-    values = [round(x, 1) for x in np.arange(-1.0, 1.2, 0.2)]
+    # plain Python floats: np.float64 would leak its repr into the output
+    # directory names (str(tuple(override))) and break their round-trip
+    # through ast.literal_eval in analyze_correlations
+    values = [round(float(x), 1) for x in np.arange(-1.0, 1.2, 0.2)]
     for dim in range(num_controls):
         for v in values:
             o = [0.0] * num_controls
@@ -50,6 +59,7 @@ def do_test_correlation(
     utterances_per_speaker: int = 200,
     batch_size: int = 8,
     max_len_override: int = MAX_LEN,
+    analyze: bool = True,
 ) -> str:
     ext = cfg.extensions
     assert ext.controls.active, "test_correlation requires controls"
@@ -127,4 +137,63 @@ def do_test_correlation(
                 write_wav(path.join(out_dir, f"{i + b}.wav"), wav[: n * 256], sr)
             i += len(mel_lengths)
         print(f"override {override}: {i} utterances")
+    if analyze:
+        out_csv = analyze_correlations(results_dir, list(ext.controls.features))
+        print(f"wrote {out_csv}")
     return results_dir
+
+
+def analyze_correlations(results_dir: str, control_features) -> str:
+    """control-value ↔ acoustic-feature Pearson correlations over a
+    completed sweep directory -> ``correlations.csv`` (pipe-separated:
+    control|acoustic_feature|pearson_r|n). All-zero overrides contribute
+    the 0.0 point to EVERY control dimension; one-hot overrides to their
+    active dimension."""
+    import ast
+    import csv
+
+    from tacotron2_tpu.audio.io import read_wav
+    from tacotron2_tpu.audio.prosody import FEATURE_NAMES, extract_features
+
+    per_dim = {d: [] for d in range(len(control_features))}
+    for name in sorted(os.listdir(results_dir)):
+        full = path.join(results_dir, name)
+        if not os.path.isdir(full):
+            continue
+        try:
+            override = tuple(float(x) for x in ast.literal_eval(name))
+        except (ValueError, SyntaxError):
+            continue
+        nz = [i for i, v in enumerate(override) if abs(v) > 1e-9]
+        if len(nz) > 1:
+            continue  # not part of the one-hot sweep
+        dims = list(range(len(override))) if not nz else nz
+        feats = []
+        for f in sorted(os.listdir(full)):
+            if not f.endswith(".wav"):
+                continue
+            wav, wsr = read_wav(path.join(full, f))
+            fd = extract_features(wav, wsr)
+            if fd is not None:
+                feats.append(fd)
+        for d in dims:
+            v = override[d]
+            per_dim[d].extend((v, fd) for fd in feats)
+
+    out = path.join(results_dir, "correlations.csv")
+    with open(out, "w", newline="") as fh:
+        w = csv.writer(fh, delimiter="|")
+        w.writerow(["control", "acoustic_feature", "pearson_r", "n"])
+        for d, samples in per_dim.items():
+            vals = np.asarray([v for v, _ in samples], np.float64)
+            if len(samples) < 3 or np.ptp(vals) < 1e-9:
+                continue
+            for fname in FEATURE_NAMES:
+                ys = np.asarray([fd[fname] for _, fd in samples], np.float64)
+                ok = np.isfinite(ys)
+                if ok.sum() < 3 or np.std(ys[ok]) < 1e-12 or np.std(vals[ok]) < 1e-12:
+                    r = float("nan")
+                else:
+                    r = float(np.corrcoef(vals[ok], ys[ok])[0, 1])
+                w.writerow([control_features[d], fname, f"{r:.4f}", int(ok.sum())])
+    return out

@@ -83,8 +83,11 @@ def test_test_correlation_driver(tmp_path):
         results_dir=str(tmp_path / "corr"),
         utterances_per_speaker=1, batch_size=2, max_len_override=16,
     )
-    dirs = sorted(os.listdir(results))
+    dirs = sorted(d for d in os.listdir(results)
+                  if os.path.isdir(os.path.join(results, d)))
     assert len(dirs) == 21  # the deduped 2-dim sweep
+    # beyond-reference analysis runs by default over the sweep
+    assert os.path.exists(os.path.join(results, "correlations.csv"))
     assert str(tuple([0.0, 0.0])) in dirs
     # every override dir has outputs (wavs) or logged degenerates
     total_wavs = sum(
@@ -92,3 +95,42 @@ def test_test_correlation_driver(tmp_path):
         for d in dirs
     )
     assert total_wavs > 0
+
+
+def test_analyze_correlations_synthetic(tmp_path):
+    """The beyond-reference correlation analysis: a synthetic sweep where
+    utterance DURATION grows with control dim 0 (and is flat in dim 1)
+    must yield a strong positive duration correlation for dim 0 and a ~0
+    correlation for dim 1; degenerate/non-sweep dirs are skipped."""
+    import os
+
+    import numpy as np
+
+    from run.test_correlation import analyze_correlations
+    from tacotron2_tpu.audio.io import write_wav
+
+    sr = 22050
+    rng = np.random.default_rng(0)
+    overrides = [(0.0, 0.0)] + [(v, 0.0) for v in (-0.8, -0.4, 0.4, 0.8)] + [
+        (0.0, v) for v in (-0.8, 0.8)
+    ]
+    for ov in overrides:
+        d = tmp_path / str(tuple(ov))
+        d.mkdir()
+        for u in range(2):
+            dur = 0.35 + 0.15 * ov[0] + 0.01 * u
+            t = np.arange(int(sr * dur)) / sr
+            wav = (0.3 * np.sin(2 * np.pi * 180 * t)
+                   + 0.01 * rng.standard_normal(t.shape)).astype(np.float32)
+            write_wav(str(d / f"{u}.wav"), wav, sr)
+    (tmp_path / "(not, a, sweep, dir)").mkdir()  # two-hot -> skipped shape
+    (tmp_path / "junk").mkdir()
+
+    out = analyze_correlations(str(tmp_path), ["ctl_a", "ctl_b"])
+    assert os.path.basename(out) == "correlations.csv"
+    import csv
+
+    rows = list(csv.reader(open(out), delimiter="|"))[1:]
+    table = {(c, f): float(r) for c, f, r, n in rows}
+    assert table[("ctl_a", "duration")] > 0.95
+    assert abs(table[("ctl_b", "duration")]) < 0.5
