@@ -376,6 +376,11 @@ def _fwd_impl(policy, train, interpret, w1, w2, small, decoder_in, step_keys,
     stash = dict(
         xh1=xh1_s, xh2=xh2_s, c_att_prev=c_att_prev_s, c_rnn_prev=c_rnn_prev_s,
         w_prev=w_prev_s, cum_prev=cum_prev_s, align=align, step_keys=step_keys,
+        # the dropout masks are already materialized for the kernel's per-t
+        # inputs — stash them so the backward reads instead of paying the
+        # (T, B, H)×2 threefry pass a second time (f32: bf16 would round
+        # the 1/(1-p) scale and break XLA-path gradient agreement)
+        dm1=dm1, dm2=dm2,
     )
     return (mels, gates_out, aligns), res, stash
 
@@ -804,12 +809,11 @@ def _bwd_impl_pallas(policy, train, interpret, saved, cots):
     d_mels, d_gates_out, d_aligns = cots
     T, B, P = din_shape
     H = stash["c_att_prev"].shape[-1]
-    step_keys = stash["step_keys"]
 
-    def masks_full(key):
-        return train_scan._dropout_masks(key, (B, H), train)
-
-    dm1, dm2 = jax.vmap(masks_full)(step_keys)  # (T, B, H) each
+    # masks come from the stash (materialized by the forward; padded to the
+    # full batch's B8) — no second threefry pass
+    dm1 = stash["dm1"][:, :B]
+    dm2 = stash["dm2"][:, :B]
 
     # pack the weight block ONCE — chunk-invariant, like the masks (don't
     # rely on XLA CSE to dedupe ceil(B/32) identical ~42 MB pack subgraphs)
