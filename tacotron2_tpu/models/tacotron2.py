@@ -557,12 +557,15 @@ class Tacotron2:
         class) when the config/backend supports it; otherwise the XLA
         while_loop parity path. Used by say/test/server.
 
-        Measured batch ceiling (tools/decode_batch_ceiling.py, r3): the
-        bf16 kernel wins through B=64 (32.2 vs 50.2 µs/step) but its
+        Measured batches (tools/decode_batch_ceiling.py, r3): the bf16
+        kernel wins outright through B=64 (32.2 vs 50.2 µs/step); its
         attention epilogue hits the Mosaic compile ceiling at B8=128, so
-        B>64 serves through the XLA while_loop (77.7 µs at B=128; the
-        opt-in int8 kernel still compiles there — 53.8 µs — but it is the
-        approximate mode, so it stays opt-in via ``quantize``)."""
+        larger batches run BATCH-CHUNKED ≤64-row launches inside
+        forward_infer_fused — measured 63.9 vs 77.7 µs at B=128 (+22%,
+        2.00M frames/s, exact-bf16 class). Dispatch keeps fused through
+        the measured B=128; B>128 serves through the XLA while_loop until
+        measured (the opt-in int8 kernel single-launches at B=128 —
+        53.8 µs — but is the approximate mode)."""
         cfg = self.cfg
         B = chars_idx.shape[0]
         n_shards = 1
@@ -580,7 +583,7 @@ class Tacotron2:
         fused_ok = (
             cfg.att_rnn_dim == cfg.rnn_hidden_dim
             and 4 * cfg.att_rnn_dim >= 1024
-            and B // n_shards <= 64
+            and B // n_shards <= 128
             and not unshardable_mesh
             and jax.default_backend() != "cpu"
         )
@@ -624,6 +627,7 @@ class Tacotron2:
         resident_cols: Optional[int] = None,
         chunk_width: Optional[int] = None,
         shard_mesh=None,  # jax.sharding.Mesh: batch-sharded multi-chip decode
+        batch_kernel_cap: int = 64,  # bf16 kernel's per-launch batch ceiling
     ) -> Tacotron2Output:
         """Free-running decode through the fused Pallas kernel
         (tacotron2_tpu.ops.decoder_loop_pallas) — the TPU fast path. Same
@@ -665,7 +669,10 @@ class Tacotron2:
         )
         if packed is None:
             if resident_cols is None:
-                resident_cols = self.default_resident_cols(quantize, batch=B_local)
+                resident_cols = self.default_resident_cols(
+                    quantize,
+                    batch=B_local if quantize else min(B_local, batch_kernel_cap),
+                )
             packed = pack_decoder_params(
                 params, cfg.num_mels, cfg.encoded_full_dim, cfg.att_rnn_dim,
                 cfg.rnn_hidden_dim, cfg.prenet_dim, cfg.controls_dim,
@@ -688,23 +695,46 @@ class Tacotron2:
             cw = chunk_width or min(2048 if quantize else 1024, streamed)
             while streamed % cw:
                 cw //= 2
-        loop = FusedDecodeLoop(
-            num_mels=cfg.num_mels, encoded_full_dim=cfg.encoded_full_dim,
-            att_rnn_dim=cfg.att_rnn_dim, prenet_dim=cfg.prenet_dim,
-            att_dim=cfg.att_dim, max_chars=L, batch=B_local,
-            controls_dim=cfg.controls_dim, dropout=cfg.dropout,
-            interpret=interpret, chunk_width=cw, resident_cols=resident_cols,
-        )
+        def decode_chunked(packed_, enc_, att_, msk_, ctl_, r):
+            """Run the fused loop, BATCH-CHUNKED past ``batch_kernel_cap``
+            rows per launch: the bf16 kernel's attention epilogue hits the
+            Mosaic compile ceiling at B8=128 (PERF.md), so larger batches
+            run sequential ≤cap-row launches — each with its own early
+            stop — and concatenate (same trick as the training backward).
+            int8 compiles at B8=128 and stays single-launch."""
+            Bl = enc_.shape[0]
+            step = Bl if quantize else min(Bl, batch_kernel_cap)
+            outs = []
+            for c0 in range(0, Bl, step):
+                c1 = min(c0 + step, Bl)
+                lp = FusedDecodeLoop(
+                    num_mels=cfg.num_mels, encoded_full_dim=cfg.encoded_full_dim,
+                    att_rnn_dim=cfg.att_rnn_dim, prenet_dim=cfg.prenet_dim,
+                    att_dim=cfg.att_dim, max_chars=L, batch=c1 - c0,
+                    controls_dim=cfg.controls_dim, dropout=cfg.dropout,
+                    interpret=interpret, chunk_width=cw,
+                    resident_cols=resident_cols,
+                )
+                outs.append(lp.decode(
+                    packed_, enc_[c0:c1], att_[c0:c1], msk_[c0:c1], max_len,
+                    rng=jax.random.fold_in(r, c0) if c0 else r,
+                    controls=None if ctl_ is None else ctl_[c0:c1],
+                    prenet_dropout=prenet_dropout,
+                ))
+            if len(outs) == 1:
+                return outs[0]
+            m, g, a, ln, es = zip(*outs)
+            return (jnp.concatenate(m, 0), jnp.concatenate(g, 0),
+                    jnp.concatenate(a, 0), jnp.concatenate(ln, 0),
+                    jnp.max(jnp.stack(es)))
+
         if n_shards > 1:
             from jax.sharding import PartitionSpec as PS
 
             def local_decode(packed_, enc_, att_, msk_, ctl_):
                 # independent prenet-dropout stream per shard
                 r = jax.random.fold_in(pre_rng, jax.lax.axis_index("data"))
-                m, g, a, ln, es = loop.decode(
-                    packed_, enc_, att_, msk_, max_len,
-                    rng=r, controls=ctl_, prenet_dropout=prenet_dropout,
-                )
+                m, g, a, ln, es = decode_chunked(packed_, enc_, att_, msk_, ctl_, r)
                 return m, g, a, ln, es[None]
 
             mels, gates, aligns, lengths, exec_steps = jax.shard_map(
@@ -720,9 +750,8 @@ class Tacotron2:
             )(packed, encoded, att_encoded, mask, controls)
             exec_steps = jnp.max(exec_steps)
         else:
-            mels, gates, aligns, lengths, exec_steps = loop.decode(
-                packed, encoded, att_encoded, mask, max_len,
-                rng=pre_rng, controls=controls, prenet_dropout=prenet_dropout,
+            mels, gates, aligns, lengths, exec_steps = decode_chunked(
+                packed, encoded, att_encoded, mask, controls, pre_rng
             )
         post, _ = postnet_mod.apply(
             params["postnet"], state["postnet"], mels, False, cfg.dropout, None, self.policy

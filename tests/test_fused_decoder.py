@@ -147,3 +147,40 @@ def test_fused_resident_split_matches():
         b = np.asarray(q.mels_post)[:, :n]
         rel = np.abs(a - b).mean() / max(np.abs(a).mean(), 1e-9)
         assert rel < 0.01, f"int8+resident(rc={rc}) divergence too large: {rel:.3%}"
+
+
+def test_fused_decode_batch_chunked_matches_single():
+    """Batch-chunked fused decode (bf16 kernel's B8=128 compile ceiling —
+    larger batches run sequential <=cap-row launches, per-launch early
+    stop): outputs must equal the single-launch path. cap=4 on B=10 forces
+    uneven chunks (4+4+2); dropout off for exactness."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tacotron2_tpu.models.tacotron2 import Tacotron2, Tacotron2Config
+
+    cfg = Tacotron2Config(
+        num_chars=12, encoded_dim=32, encoder_kernel_size=5, num_mels=16,
+        prenet_dim=16, att_rnn_dim=32, att_dim=16, rnn_hidden_dim=32,
+        postnet_dim=16, dropout=0.0,
+    )
+    model = Tacotron2(cfg)
+    params, state = model.init(jax.random.PRNGKey(4))
+    params["decoder"]["gate"]["b"] = jnp.full_like(params["decoder"]["gate"]["b"], 5.0)
+    rng = np.random.default_rng(6)
+    chars = jnp.asarray(rng.integers(1, 12, size=(10, 8)))
+    lens = jnp.asarray([8, 6, 8, 5, 8, 7, 8, 8, 4, 8])
+
+    single = model.forward_infer_fused(
+        params, state, chars, lens, 16, rng=jax.random.PRNGKey(0),
+        prenet_dropout=False, interpret=True,
+    )
+    chunked = model.forward_infer_fused(
+        params, state, chars, lens, 16, rng=jax.random.PRNGKey(0),
+        prenet_dropout=False, interpret=True, batch_kernel_cap=4,
+    )
+    np.testing.assert_array_equal(np.asarray(single.lengths), np.asarray(chunked.lengths))
+    np.testing.assert_allclose(
+        np.asarray(chunked.mels_post), np.asarray(single.mels_post), atol=2e-5
+    )
