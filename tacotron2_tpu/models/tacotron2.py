@@ -561,11 +561,12 @@ class Tacotron2:
         kernel wins outright through B=64 (32.2 vs 50.2 µs/step); its
         attention epilogue hits the Mosaic compile ceiling at B8=128, so
         larger batches run BATCH-CHUNKED ≤64-row launches inside
-        forward_infer_fused — measured 63.9 vs 77.7 µs at B=128 (+22%,
-        2.00M frames/s, exact-bf16 class). Dispatch keeps fused through
-        the measured B=128; B>128 serves through the XLA while_loop until
-        measured (the opt-in int8 kernel single-launches at B=128 —
-        53.8 µs — but is the approximate mode)."""
+        forward_infer_fused — 63.9 vs 77.7 µs at B=128 (+22%), 124.0 vs
+        142.6 at B=256 (+15%, 2.06M frames/s, exact-bf16 class). The
+        per-64-row slopes match (≈32 µs both paths), so the fused
+        advantage persists at any batch — no dispatch cap. (The opt-in
+        int8 kernel single-launches at B=128 — 53.8 µs — but is the
+        approximate mode.)"""
         cfg = self.cfg
         B = chars_idx.shape[0]
         n_shards = 1
@@ -583,7 +584,6 @@ class Tacotron2:
         fused_ok = (
             cfg.att_rnn_dim == cfg.rnn_hidden_dim
             and 4 * cfg.att_rnn_dim >= 1024
-            and B // n_shards <= 128
             and not unshardable_mesh
             and jax.default_backend() != "cpu"
         )
