@@ -75,6 +75,13 @@ def test_server_subprocess_mode(tiny_server_setup, tmp_path, monkeypatch):
     for pkg in ("tacotron2_tpu", "run", "preprocessing", "web", "native"):
         (tmp_path / pkg).symlink_to(os.path.join(repo, pkg), target_is_directory=True)
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    # share the suite's persistent compile cache with the child: the cold
+    # say-pipeline compile (~minutes on a saturated 1-core host) becomes a
+    # cache reload, taking the flakiness out of the client timeout
+    monkeypatch.setenv(
+        "TACOTRON2_COMPILE_CACHE",
+        os.path.join(repo, "tests", ".jax_cache"),
+    )
 
     async def run():
         from aiohttp import ClientTimeout
