@@ -164,6 +164,8 @@ def analyze_correlations(results_dir: str, control_features) -> str:
             override = tuple(float(x) for x in ast.literal_eval(name))
         except (ValueError, SyntaxError):
             continue
+        if len(override) != len(control_features):
+            continue  # stale sweep dir from a different control config
         nz = [i for i, v in enumerate(override) if abs(v) > 1e-9]
         if len(nz) > 1:
             continue  # not part of the one-hot sweep

@@ -569,14 +569,11 @@ class Tacotron2:
         approximate mode.)"""
         cfg = self.cfg
         B = chars_idx.shape[0]
-        n_shards = 1
         unshardable_mesh = False
         if shard_mesh is not None and shard_mesh.size > 1:
-            if ("data" in shard_mesh.shape
+            if not ("data" in shard_mesh.shape
                     and shard_mesh.shape.get("model", 1) == 1
                     and B % shard_mesh.shape["data"] == 0):
-                n_shards = shard_mesh.shape["data"]
-            else:
                 # GSPMD has no partitioning rule for pallas_call — it would
                 # all-gather and run the kernel REPLICATED on every device;
                 # the XLA while_loop partitions cleanly instead
@@ -628,6 +625,7 @@ class Tacotron2:
         chunk_width: Optional[int] = None,
         shard_mesh=None,  # jax.sharding.Mesh: batch-sharded multi-chip decode
         batch_kernel_cap: int = 64,  # bf16 kernel's per-launch batch ceiling
+        int8_batch_kernel_cap: int = 128,  # int8 kernel's measured ceiling
     ) -> Tacotron2Output:
         """Free-running decode through the fused Pallas kernel
         (tacotron2_tpu.ops.decoder_loop_pallas) — the TPU fast path. Same
@@ -671,7 +669,10 @@ class Tacotron2:
             if resident_cols is None:
                 resident_cols = self.default_resident_cols(
                     quantize,
-                    batch=B_local if quantize else min(B_local, batch_kernel_cap),
+                    batch=min(
+                        B_local,
+                        int8_batch_kernel_cap if quantize else batch_kernel_cap,
+                    ),
                 )
             packed = pack_decoder_params(
                 params, cfg.num_mels, cfg.encoded_full_dim, cfg.att_rnn_dim,
@@ -701,9 +702,11 @@ class Tacotron2:
             Mosaic compile ceiling at B8=128 (PERF.md), so larger batches
             run sequential ≤cap-row launches — each with its own early
             stop — and concatenate (same trick as the training backward).
-            int8 compiles at B8=128 and stays single-launch."""
+            int8 is verified single-launch through B=128 (its measured
+            cap); past that it chunks the same way so no batch can reach
+            an unverified compile."""
             Bl = enc_.shape[0]
-            step = Bl if quantize else min(Bl, batch_kernel_cap)
+            step = min(Bl, int8_batch_kernel_cap if quantize else batch_kernel_cap)
             outs = []
             for c0 in range(0, Bl, step):
                 c1 = min(c0 + step, Bl)

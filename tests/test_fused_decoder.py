@@ -184,3 +184,23 @@ def test_fused_decode_batch_chunked_matches_single():
     np.testing.assert_allclose(
         np.asarray(chunked.mels_post), np.asarray(single.mels_post), atol=2e-5
     )
+
+    # int8 kernel: same chunking guarantee past ITS measured ceiling
+    # (B=128 on hardware; cap=4 on B=10 here forces uneven 4+4+2 chunks).
+    # Per-chunk quantization scales are computed from the same full weight
+    # block, so chunked must equal single-launch bit-for-bit in interpret.
+    q_single = model.forward_infer_fused(
+        params, state, chars, lens, 16, rng=jax.random.PRNGKey(0),
+        prenet_dropout=False, interpret=True, quantize=True,
+    )
+    q_chunked = model.forward_infer_fused(
+        params, state, chars, lens, 16, rng=jax.random.PRNGKey(0),
+        prenet_dropout=False, interpret=True, quantize=True,
+        int8_batch_kernel_cap=4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(q_single.lengths), np.asarray(q_chunked.lengths)
+    )
+    np.testing.assert_allclose(
+        np.asarray(q_chunked.mels_post), np.asarray(q_single.mels_post), atol=2e-5
+    )
