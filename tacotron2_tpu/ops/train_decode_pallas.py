@@ -493,7 +493,7 @@ def _teacher_bwd_kernel(
     # scratch
     xh, wpadP, wpadC, dwctx, acc_attenc,
     *, T: int, H: int, D: int, P: int, M: int, L: int, E: int, R1: int,
-    LB: int, BA: int, level: int = 99,
+    LB: int, BA: int, steps: int = 1, level: int = 99,
 ):
     """Reverse scan of the teacher-forced decode as ONE kernel with the
     full weight block VMEM-resident: per step it RECOMPUTES the forward
@@ -503,7 +503,17 @@ def _teacher_bwd_kernel(
     stacking the gate cotangents for the post-kernel dW einsums exactly
     like train_scan._vjp_bwd. The backward is LINEAR in the cotangents, so
     zero-padded batch rows / char lanes provably contribute exact zeros
-    (cotangents enter zero and every pull is a product with them)."""
+    (cotangents enter zero and every pull is a product with them).
+
+    ``steps`` consecutive (reversed) time rows run per grid step (VERDICT
+    r3 #2, "2-steps-per-grid-step"): the recurrent cotangent carries flow
+    through LOCALS between the unrolled sub-steps and every parameter-
+    gradient accumulator is read-modify-written ONCE per grid step with
+    the summed contribution — at steps=2 this halves the big-accumulator
+    RMW traffic (the (A, B8*LB) acc_attenc chain that the r3 level profile
+    charged ~6.4 ms of the 45.4 ms B=32 step). Grid must be T // steps;
+    under a bisection ``level`` the remaining sub-steps of the grid step
+    are skipped (debug-only, same triage value as the per-step returns)."""
     k = pl.program_id(0)
     B8 = dm1_t.shape[1]
     f32 = jnp.float32
@@ -525,266 +535,296 @@ def _teacher_bwd_kernel(
 
     if level <= 10:  # bisection: I/O skeleton only
         return
-    # ================= phase B: recompute + pull =========================
-    xh2 = xh2_t[0]  # (B8, R2k) compute dtype
-    g2 = jnp.dot(xh2, w_res[:, 4 * H :], preferred_element_type=f32) + b_stream[:, 4 * H :]
-    i2 = jax.nn.sigmoid(g2[:, :H])
-    f2 = jax.nn.sigmoid(g2[:, H : 2 * H])
-    t2 = jnp.tanh(g2[:, 2 * H : 3 * H])
-    o2 = jax.nn.sigmoid(g2[:, 3 * H :])
-    c_rnn_prev = c_rnn_prev_t[0]
-    c_rnn = f2 * c_rnn_prev + i2 * t2
-    tc2 = jnp.tanh(c_rnn)
-    dm2 = dm2_t[0]
-    rnn_h_d = o2 * tc2 * dm2
 
-    # heads backward (packed layout: one matmul against w_out^T)
-    dmg = d_mel_gate_t[0]  # (B8, 128) f32
-    d_headin = jax.lax.dot_general(
-        dmg.astype(dt), w_out[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-    )  # (B8, R3)
-    headin = jnp.concatenate([rnn_h_d, xh2[:, H : H + D + E].astype(f32)], axis=1)
-    o_d_wout[:, :] = o_d_wout[:, :] + jax.lax.dot_general(
-        headin.astype(dt), dmg.astype(dt),
-        dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=f32,
-    )
-    d_rnn_h_d = d_headin[:, :H] + o_d_rnn_h[:]
-    d_ctx_heads = d_headin[:, H : H + D]
-    d_ctrl_step = d_headin[:, H + D :]
+    # recurrent cotangent carries: ref -> local once per grid step
+    d_att_h = o_d_att_h[:, :]
+    d_att_c = o_d_att_c[:, :]
+    d_ctx_c = o_d_ctx[:, :]
+    d_w_c = o_d_w[:, :]
+    d_cum_c = o_d_cum[:, :]
+    d_rnn_h = o_d_rnn_h[:, :]
+    d_rnn_c = o_d_rnn_c[:, :]
+    accs = {}
 
-    # decoder-LSTM backward
-    d_h2 = d_rnn_h_d * dm2
-    d_o2 = d_h2 * tc2 * o2 * (1.0 - o2)
-    d_c2 = o_d_rnn_c[:] + d_h2 * o2 * (1.0 - tc2 * tc2)
-    d_f2 = d_c2 * c_rnn_prev * f2 * (1.0 - f2)
-    d_i2 = d_c2 * t2 * i2 * (1.0 - i2)
-    d_g2 = d_c2 * i2 * (1.0 - t2 * t2)
-    dg2 = jnp.concatenate([d_i2, d_f2, d_g2, d_o2], axis=1)
-    o_d_rnn_c[:, :] = d_c2 * f2
-    out_dg2[0] = dg2.astype(dt)
-    dxh2 = jax.lax.dot_general(
-        dg2.astype(dt), w_res[:, 4 * H :],
-        dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=f32,
-    )  # (B8, R2k)
-    d_h_att_from2 = dxh2[:, :H]
-    o_d_ctrl[:, :] = o_d_ctrl[:, :] + d_ctrl_step + dxh2[:, H + D : H + D + E]
-    o_d_rnn_h[:, :] = dxh2[:, H + D + E :]
-    d_ctx_total = o_d_ctx[:] + d_ctx_heads + dxh2[:, H : H + D]
-    out_dctx[0] = d_ctx_total
+    def _add(name, v):
+        accs[name] = v if name not in accs else accs[name] + v
 
-    if level <= 20:  # bisection: phase B only
-        return
-    # ================= phase A: recompute ================================
-    xh[:, :R1] = xh1_t[0].astype(f32)
-    xh[:, R1:] = jnp.zeros((B8, xh.shape[1] - R1), f32)
-    g1 = jnp.dot(xh[:].astype(dt), w_res[:, : 4 * H], preferred_element_type=f32) + b_stream[:, : 4 * H]
-    i1 = jax.nn.sigmoid(g1[:, :H])
-    f1 = jax.nn.sigmoid(g1[:, H : 2 * H])
-    t1 = jnp.tanh(g1[:, 2 * H : 3 * H])
-    o1 = jax.nn.sigmoid(g1[:, 3 * H :])
-    c_att_prev = c_att_prev_t[0]
-    c_att = f1 * c_att_prev + i1 * t1
-    tc1 = jnp.tanh(c_att)
-    dm1 = dm1_t[0]
-    h_att_d = o1 * tc1 * dm1
+    for sub in range(steps - 1, -1, -1):
+        # ============= phase B: recompute + pull =========================
+        xh2 = xh2_t[sub]  # (B8, R2k) compute dtype
+        g2 = jnp.dot(xh2, w_res[:, 4 * H :], preferred_element_type=f32) + b_stream[:, 4 * H :]
+        i2 = jax.nn.sigmoid(g2[:, :H])
+        f2 = jax.nn.sigmoid(g2[:, H : 2 * H])
+        t2 = jnp.tanh(g2[:, 2 * H : 3 * H])
+        o2 = jax.nn.sigmoid(g2[:, 3 * H :])
+        c_rnn_prev = c_rnn_prev_t[sub]
+        c_rnn = f2 * c_rnn_prev + i2 * t2
+        tc2 = jnp.tanh(c_rnn)
+        dm2 = dm2_t[sub]
+        rnn_h_d = o2 * tc2 * dm2
 
-    # attention recompute, keeping the intermediates the pull needs.
-    # The window matrix is built DIRECTLY in the flat (64, NL) layout —
-    # no (64*B8, LB) intermediate and no B8-part relayout concats (their
-    # fan-out is what breaks the B=64 compile): each 64-row stripe of
-    # block b holds wpad[b] (placed block-diagonally via repeat-tile ×
-    # block-mask, collapsed by a ones-contraction, tiled to 64 rows), and
-    # the per-row left-rolls are LEAK-SAFE across block seams because the
-    # ≤31 lanes that cross a boundary land in / come from the zero pad
-    # and masked (≥ L) tail lanes.
-    wpadP[:, 15 : 15 + L] = w_prev_t[0]
-    wpadC[:, 15 : 15 + L] = cum_prev_t[0]
-    ones_b = jnp.ones((1, B8), f32)
-    sP = pltpu.repeat(wpadP[:], B8, axis=1) * block_expand[:]  # (B8, NL)
-    sC = pltpu.repeat(wpadC[:], B8, axis=1) * block_expand[:]
-    pP = jax.lax.dot_general(
-        ones_b, sP, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    )  # (1, NL)
-    pC = jax.lax.dot_general(
-        ones_b, sC, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    )
-    row = jax.lax.broadcasted_iota(jnp.int32, (64, NL), 0)
-    w_rows = jnp.where(
-        row < 32, pltpu.repeat(pP, 64, axis=0), pltpu.repeat(pC, 64, axis=0)
-    )  # (64, NL)
-    shift = row % 32
-    for j in (16, 8, 4, 2, 1):
-        w_rows = jnp.where(
-            (shift & j) > 0, pltpu.roll(w_rows, NL - j, axis=1), w_rows
-        )
-    w_cat = w_rows.astype(dt)  # (64, NL)
-    loc_cat = jax.lax.dot_general(
-        w_loc_win[:].astype(dt), w_cat,
-        dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=f32,
-    )
-    qT = jax.lax.dot_general(
-        wq[:].astype(dt), h_att_d.astype(dt),
-        dimension_numbers=(((0,), (1,)), ((), ())), preferred_element_type=f32,
-    )  # (A, B8)
-    q_cat = jax.lax.dot_general(
-        qT.astype(dt), block_expand[:].astype(dt),
-        dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=f32,
-    )
-    t_cat = jnp.tanh(loc_cat + q_cat + att_enc_cat[:].astype(f32))  # (A, NL)
-    e_flat = jax.lax.dot_general(
-        wv[:].astype(dt), t_cat.astype(dt),
-        dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=f32,
-    )  # (1, NL)
-    energ = jnp.concatenate(
-        [e_flat[:, b * LB : (b + 1) * LB] for b in range(B8)], axis=0
-    )
-    e = jnp.where(valid[:] > 0, energ, -1e30)
-    m = jnp.max(e, axis=1, keepdims=True)
-    wfull = jnp.exp(e - m)
-    wfull = wfull / jnp.sum(wfull, axis=1, keepdims=True)  # (B8, LB)
+        # heads backward (packed layout: one matmul against w_out^T)
+        dmg = d_mel_gate_t[sub]  # (B8, 128) f32
+        d_headin = jax.lax.dot_general(
+            dmg.astype(dt), w_out[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (B8, R3)
+        headin = jnp.concatenate([rnn_h_d, xh2[:, H : H + D + E].astype(f32)], axis=1)
+        _add("wout", jax.lax.dot_general(
+            headin.astype(dt), dmg.astype(dt),
+            dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=f32,
+        ))
+        d_rnn_h_d = d_headin[:, :H] + d_rnn_h
+        d_ctx_heads = d_headin[:, H : H + D]
+        d_ctrl_step = d_headin[:, H + D :]
 
-    if level <= 30:  # bisection: + attention recompute
-        return
-    # ================= phase A: pull =====================================
-    # context = w @ enc  ->  d_w += d_ctx . enc^T (per active row; enc_T is
-    # the pre-transposed (B8, D, L) copy so the contraction is standard)
-    for b in range(BA):
-        dwctx[b : b + 1, :] = jax.lax.dot_general(
-            d_ctx_total[b : b + 1, :].astype(dt), encoded_T[b].astype(dt),
-            dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=f32,
-        )
-    if BA < B8:
-        dwctx[BA:, :] = jnp.zeros((B8 - BA, L), f32)
-    if level <= 31:  # bisection: + d_w_from_ctx row loop
-        return
-    # cum = cum_prev + w folds d_cum into w's cotangent
-    dw_soft_L = o_d_w[:] + d_align_t[0] + o_d_cum[:] + dwctx[:]
-    dw_soft = jnp.concatenate(
-        [dw_soft_L, jnp.zeros((B8, LB - L), f32)], axis=1
-    )
-    s = jnp.sum(dw_soft * wfull, axis=1, keepdims=True)
-    de = wfull * (dw_soft - s)  # (B8, LB); zero on pad lanes/rows
-    if level <= 32:  # bisection: + softmax pull
-        return
-    # de placed BLOCK-DIAGONALLY in the flat lane layout:
-    # S[b, b*LB + l] = de[b, l] — pltpu.repeat TILES ([de de ...]) and
-    # block_expand masks everything outside a row's own block. This avoids
-    # both Mosaic hazards found here: 1-sublane lane-concats and K=1
-    # contractions crash the compile helper, and mixed-dtype broadcast
-    # lowerings fail verification — so everything stays f32 over proven
-    # primitives (repeat / elementwise / standard dots).
-    S = pltpu.repeat(de, B8, axis=1) * block_expand[:]  # (B8, NL)
-    wv_cols = pltpu.repeat(wv[:].astype(f32), B8, axis=1)  # (A, B8) tiled
-    wv_de = jax.lax.dot_general(
-        wv_cols, S,
-        dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=f32,
-    )  # (A, NL) == wv ⊗ de_flat
-    fac = 1.0 - t_cat * t_cat  # tanh'
-    de_pre = wv_de * fac
-    if level <= 33:  # bisection: + block-diagonal outer product
-        return
-    acc_attenc[:, :] = acc_attenc[:, :] + de_pre
+        # decoder-LSTM backward
+        d_h2 = d_rnn_h_d * dm2
+        d_o2 = d_h2 * tc2 * o2 * (1.0 - o2)
+        d_c2 = d_rnn_c + d_h2 * o2 * (1.0 - tc2 * tc2)
+        d_f2 = d_c2 * c_rnn_prev * f2 * (1.0 - f2)
+        d_i2 = d_c2 * t2 * i2 * (1.0 - i2)
+        d_g2 = d_c2 * i2 * (1.0 - t2 * t2)
+        dg2 = jnp.concatenate([d_i2, d_f2, d_g2, d_o2], axis=1)
+        d_rnn_c = d_c2 * f2
+        out_dg2[sub] = dg2.astype(dt)
+        dxh2 = jax.lax.dot_general(
+            dg2.astype(dt), w_res[:, 4 * H :],
+            dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=f32,
+        )  # (B8, R2k)
+        d_h_att_from2 = dxh2[:, :H]
+        _add("ctrl", d_ctrl_step + dxh2[:, H + D : H + D + E])
+        d_rnn_h = dxh2[:, H + D + E :]
+        d_ctx_total = d_ctx_c + d_ctx_heads + dxh2[:, H : H + D]
+        out_dctx[sub] = d_ctx_total
 
-    @pl.when(k == T - 1)
-    def _flush_attenc():
-        o_d_attenc[:, :] = acc_attenc[:, :]
+        if level <= 20:  # bisection: phase B only
+            break
+        # ============= phase A: recompute ================================
+        xh[:, :R1] = xh1_t[sub].astype(f32)
+        xh[:, R1:] = jnp.zeros((B8, xh.shape[1] - R1), f32)
+        g1 = jnp.dot(xh[:].astype(dt), w_res[:, : 4 * H], preferred_element_type=f32) + b_stream[:, : 4 * H]
+        i1 = jax.nn.sigmoid(g1[:, :H])
+        f1 = jax.nn.sigmoid(g1[:, H : 2 * H])
+        t1 = jnp.tanh(g1[:, 2 * H : 3 * H])
+        o1 = jax.nn.sigmoid(g1[:, 3 * H :])
+        c_att_prev = c_att_prev_t[sub]
+        c_att = f1 * c_att_prev + i1 * t1
+        tc1 = jnp.tanh(c_att)
+        dm1 = dm1_t[sub]
+        h_att_d = o1 * tc1 * dm1
 
-    if level <= 34:  # bisection: + d_attenc accumulate
-        return
-    # d_wv per-batch columns (A, B8); the epilogue sums columns 0..B8
-    o_d_wv[:, :] = o_d_wv[:, :] + _dot_over_lanes(t_cat, S)
-    if level <= 35:  # bisection: + d_wv accumulate
-        return
-    # dq[b, a] = wv[a] * Σ_l de[b, l] * fac[a, b*LB+l]: contract S with
-    # tanh' over lanes (the SAME op shape as the d_wv dot above, which
-    # compiles at B8=64 — the original de_pre ⋅ block_expand formulation
-    # crashed the compile helper there), then scale rows by wv^T
-    dq = _dot_over_lanes(S, fac) * pltpu.repeat(
-        wv_T[:].astype(f32), B8, axis=0
-    )  # (B8, A)
-    if level <= 36:  # bisection: + dq (probe write defeats DCE)
-        o_d_wq[:, :] = o_d_wq[:, :] + jax.lax.dot_general(
-            dq, jnp.ones((B8, H), f32),
-            dimension_numbers=(((0,), (0,)), ((), ())),
+        # attention recompute, keeping the intermediates the pull needs.
+        # The window matrix is built DIRECTLY in the flat (64, NL) layout —
+        # no (64*B8, LB) intermediate and no B8-part relayout concats (their
+        # fan-out is what breaks the B=64 compile): each 64-row stripe of
+        # block b holds wpad[b] (placed block-diagonally via repeat-tile ×
+        # block-mask, collapsed by a ones-contraction, tiled to 64 rows), and
+        # the per-row left-rolls are LEAK-SAFE across block seams because the
+        # ≤31 lanes that cross a boundary land in / come from the zero pad
+        # and masked (≥ L) tail lanes.
+        wpadP[:, 15 : 15 + L] = w_prev_t[sub]
+        wpadC[:, 15 : 15 + L] = cum_prev_t[sub]
+        ones_b = jnp.ones((1, B8), f32)
+        sP = pltpu.repeat(wpadP[:], B8, axis=1) * block_expand[:]  # (B8, NL)
+        sC = pltpu.repeat(wpadC[:], B8, axis=1) * block_expand[:]
+        pP = jax.lax.dot_general(
+            ones_b, sP, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )  # (1, NL)
+        pC = jax.lax.dot_general(
+            ones_b, sC, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32,
         )
-        return
-    d_h_from_q = jax.lax.dot_general(
-        dq, wq_T[:].astype(f32),
-        dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=f32,
-    )  # (B8, H)
-    if level <= 37:  # bisection: + d_h_from_q (probe write defeats DCE)
-        o_d_rnn_h[:, :] = o_d_rnn_h[:] + d_h_from_q
-        return
-    # d_wq accumulated TRANSPOSED as (A, H) — contraction over the batch
-    # rows is the proven class; the XLA epilogue transposes once
-    o_d_wq[:, :] = o_d_wq[:, :] + jax.lax.dot_general(
-        dq, h_att_d,
-        dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=f32,
-    )  # (A, H)
-    if level <= 38:  # bisection: + d_wq accumulate
-        return
-    o_d_wlw[:, :] = o_d_wlw[:, :] + _dot_over_lanes(
-        w_cat.astype(f32), de_pre
-    )  # (64, A)
-    if level <= 40:  # bisection: + softmax/energy pull, small param grads
-        return
-    # window backward: d_win = w_loc_win @ de_pre, RIGHT-roll each tap row
-    # by its shift (directly in the flat (64, NL) layout — seam-crossing
-    # lanes are zeros: de_pre is zero on each block's masked ≥ L tail),
-    # then channel-sum the tap rows via selector contractions
-    d_win_cat = jax.lax.dot_general(
-        w_loc_win[:].astype(f32), de_pre,
-        dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=f32,
-    )  # (64, NL)
-    for j in (16, 8, 4, 2, 1):
-        d_win_cat = jnp.where(
-            (shift & j) > 0, pltpu.roll(d_win_cat, j, axis=1), d_win_cat
+        row = jax.lax.broadcasted_iota(jnp.int32, (64, NL), 0)
+        w_rows = jnp.where(
+            row < 32, pltpu.repeat(pP, 64, axis=0), pltpu.repeat(pC, 64, axis=0)
+        )  # (64, NL)
+        shift = row % 32
+        for j in (16, 8, 4, 2, 1):
+            w_rows = jnp.where(
+                (shift & j) > 0, pltpu.roll(w_rows, NL - j, axis=1), w_rows
+            )
+        w_cat = w_rows.astype(dt)  # (64, NL)
+        loc_cat = jax.lax.dot_general(
+            w_loc_win[:].astype(dt), w_cat,
+            dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=f32,
         )
-    rolled_cat = d_win_cat  # (64, NL)
-    r64 = jax.lax.broadcasted_iota(jnp.int32, (1, 64), 1)
-    selP = (r64 < 31).astype(f32)
-    selC = jnp.logical_and(r64 >= 32, r64 < 63).astype(f32)
-    sumP_flat = jax.lax.dot_general(
-        selP, rolled_cat,
-        dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=f32,
-    )  # (1, NL)
-    sumC_flat = jax.lax.dot_general(
-        selC, rolled_cat,
-        dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=f32,
-    )
-    sumP = jnp.concatenate(
-        [sumP_flat[:, b * LB : (b + 1) * LB] for b in range(B8)], axis=0
-    )  # (B8, LB)
-    sumC = jnp.concatenate(
-        [sumC_flat[:, b * LB : (b + 1) * LB] for b in range(B8)], axis=0
-    )
-    o_d_w[:, :] = sumP[:, 15 : 15 + L]
-    o_d_cum[:, :] = o_d_cum[:, :] + sumC[:, 15 : 15 + L]
+        qT = jax.lax.dot_general(
+            wq[:].astype(dt), h_att_d.astype(dt),
+            dimension_numbers=(((0,), (1,)), ((), ())), preferred_element_type=f32,
+        )  # (A, B8)
+        q_cat = jax.lax.dot_general(
+            qT.astype(dt), block_expand[:].astype(dt),
+            dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+        t_cat = jnp.tanh(loc_cat + q_cat + att_enc_cat[:].astype(f32))  # (A, NL)
+        e_flat = jax.lax.dot_general(
+            wv[:].astype(dt), t_cat.astype(dt),
+            dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=f32,
+        )  # (1, NL)
+        energ = jnp.concatenate(
+            [e_flat[:, b * LB : (b + 1) * LB] for b in range(B8)], axis=0
+        )
+        e = jnp.where(valid[:] > 0, energ, -1e30)
+        m = jnp.max(e, axis=1, keepdims=True)
+        wfull = jnp.exp(e - m)
+        wfull = wfull / jnp.sum(wfull, axis=1, keepdims=True)  # (B8, LB)
 
-    if level <= 50:  # bisection: + window backward
-        return
-    # attention-LSTM backward
-    d_hd1 = o_d_att_h[:] + d_h_att_from2 + d_h_from_q
-    d_h1 = d_hd1 * dm1
-    d_o1 = d_h1 * tc1 * o1 * (1.0 - o1)
-    d_c1 = o_d_att_c[:] + d_h1 * o1 * (1.0 - tc1 * tc1)
-    d_f1 = d_c1 * c_att_prev * f1 * (1.0 - f1)
-    d_i1 = d_c1 * t1 * i1 * (1.0 - i1)
-    d_g1 = d_c1 * i1 * (1.0 - t1 * t1)
-    dg1 = jnp.concatenate([d_i1, d_f1, d_g1, d_o1], axis=1)
-    o_d_att_c[:, :] = d_c1 * f1
-    out_dg1[0] = dg1.astype(dt)
-    dxh1 = jax.lax.dot_general(
-        dg1.astype(dt), w_res[:, : 4 * H],
-        dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=f32,
-    )  # (B8, R2k); cols >= R1 are exact zeros (zero-padded weight rows)
-    out_dprenet[0] = dxh1[:, :P]
-    o_d_ctx[:, :] = dxh1[:, P : P + D]
-    o_d_att_h[:, :] = dxh1[:, P + D : R1]
+        if level <= 30:  # bisection: + attention recompute
+            break
+        # ============= phase A: pull =====================================
+        # context = w @ enc  ->  d_w += d_ctx . enc^T (per active row; enc_T
+        # is the pre-transposed (B8, D, L) copy so the contraction is
+        # standard)
+        for b in range(BA):
+            dwctx[b : b + 1, :] = jax.lax.dot_general(
+                d_ctx_total[b : b + 1, :].astype(dt), encoded_T[b].astype(dt),
+                dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=f32,
+            )
+        if BA < B8:
+            dwctx[BA:, :] = jnp.zeros((B8 - BA, L), f32)
+        if level <= 31:  # bisection: + d_w_from_ctx row loop
+            break
+        # cum = cum_prev + w folds d_cum into w's cotangent
+        dw_soft_L = d_w_c + d_align_t[sub] + d_cum_c + dwctx[:]
+        dw_soft = jnp.concatenate(
+            [dw_soft_L, jnp.zeros((B8, LB - L), f32)], axis=1
+        )
+        s = jnp.sum(dw_soft * wfull, axis=1, keepdims=True)
+        de = wfull * (dw_soft - s)  # (B8, LB); zero on pad lanes/rows
+        if level <= 32:  # bisection: + softmax pull
+            break
+        # de placed BLOCK-DIAGONALLY in the flat lane layout:
+        # S[b, b*LB + l] = de[b, l] — pltpu.repeat TILES ([de de ...]) and
+        # block_expand masks everything outside a row's own block. This
+        # avoids both Mosaic hazards found here: 1-sublane lane-concats and
+        # K=1 contractions crash the compile helper, and mixed-dtype
+        # broadcast lowerings fail verification — so everything stays f32
+        # over proven primitives (repeat / elementwise / standard dots).
+        S = pltpu.repeat(de, B8, axis=1) * block_expand[:]  # (B8, NL)
+        wv_cols = pltpu.repeat(wv[:].astype(f32), B8, axis=1)  # (A, B8) tiled
+        wv_de = jax.lax.dot_general(
+            wv_cols, S,
+            dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=f32,
+        )  # (A, NL) == wv ⊗ de_flat
+        fac = 1.0 - t_cat * t_cat  # tanh'
+        de_pre = wv_de * fac
+        if level <= 33:  # bisection: + block-diagonal outer product
+            break
+        _add("attenc", de_pre)
+        if level <= 34:  # bisection: + d_attenc accumulate
+            break
+        # d_wv per-batch columns (A, B8); the epilogue sums columns 0..B8
+        _add("wv", _dot_over_lanes(t_cat, S))
+        if level <= 35:  # bisection: + d_wv accumulate
+            break
+        # dq[b, a] = wv[a] * Σ_l de[b, l] * fac[a, b*LB+l]: contract S with
+        # tanh' over lanes (the SAME op shape as the d_wv dot above, which
+        # compiles at B8=64 — the original de_pre ⋅ block_expand formulation
+        # crashed the compile helper there), then scale rows by wv^T
+        dq = _dot_over_lanes(S, fac) * pltpu.repeat(
+            wv_T[:].astype(f32), B8, axis=0
+        )  # (B8, A)
+        if level <= 36:  # bisection: + dq (probe write defeats DCE)
+            _add("wq", jax.lax.dot_general(
+                dq, jnp.ones((B8, H), f32),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            ))
+            break
+        d_h_from_q = jax.lax.dot_general(
+            dq, wq_T[:].astype(f32),
+            dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=f32,
+        )  # (B8, H)
+        if level <= 37:  # bisection: + d_h_from_q (probe write defeats DCE)
+            d_rnn_h = d_rnn_h + d_h_from_q
+            break
+        # d_wq accumulated TRANSPOSED as (A, H) — contraction over the batch
+        # rows is the proven class; the XLA epilogue transposes once
+        _add("wq", jax.lax.dot_general(
+            dq, h_att_d,
+            dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=f32,
+        ))  # (A, H)
+        if level <= 38:  # bisection: + d_wq accumulate
+            break
+        _add("wlw", _dot_over_lanes(w_cat.astype(f32), de_pre))  # (64, A)
+        if level <= 40:  # bisection: + softmax/energy pull, small param grads
+            break
+        # window backward: d_win = w_loc_win @ de_pre, RIGHT-roll each tap
+        # row by its shift (directly in the flat (64, NL) layout —
+        # seam-crossing lanes are zeros: de_pre is zero on each block's
+        # masked ≥ L tail), then channel-sum the tap rows via selector
+        # contractions
+        d_win_cat = jax.lax.dot_general(
+            w_loc_win[:].astype(f32), de_pre,
+            dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=f32,
+        )  # (64, NL)
+        for j in (16, 8, 4, 2, 1):
+            d_win_cat = jnp.where(
+                (shift & j) > 0, pltpu.roll(d_win_cat, j, axis=1), d_win_cat
+            )
+        rolled_cat = d_win_cat  # (64, NL)
+        r64 = jax.lax.broadcasted_iota(jnp.int32, (1, 64), 1)
+        selP = (r64 < 31).astype(f32)
+        selC = jnp.logical_and(r64 >= 32, r64 < 63).astype(f32)
+        sumP_flat = jax.lax.dot_general(
+            selP, rolled_cat,
+            dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=f32,
+        )  # (1, NL)
+        sumC_flat = jax.lax.dot_general(
+            selC, rolled_cat,
+            dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+        sumP = jnp.concatenate(
+            [sumP_flat[:, b * LB : (b + 1) * LB] for b in range(B8)], axis=0
+        )  # (B8, LB)
+        sumC = jnp.concatenate(
+            [sumC_flat[:, b * LB : (b + 1) * LB] for b in range(B8)], axis=0
+        )
+        d_w_c = sumP[:, 15 : 15 + L]
+        d_cum_c = d_cum_c + sumC[:, 15 : 15 + L]
+
+        if level <= 50:  # bisection: + window backward
+            break
+        # attention-LSTM backward
+        d_hd1 = d_att_h + d_h_att_from2 + d_h_from_q
+        d_h1 = d_hd1 * dm1
+        d_o1 = d_h1 * tc1 * o1 * (1.0 - o1)
+        d_c1 = d_att_c + d_h1 * o1 * (1.0 - tc1 * tc1)
+        d_f1 = d_c1 * c_att_prev * f1 * (1.0 - f1)
+        d_i1 = d_c1 * t1 * i1 * (1.0 - i1)
+        d_g1 = d_c1 * i1 * (1.0 - t1 * t1)
+        dg1 = jnp.concatenate([d_i1, d_f1, d_g1, d_o1], axis=1)
+        d_att_c = d_c1 * f1
+        out_dg1[sub] = dg1.astype(dt)
+        dxh1 = jax.lax.dot_general(
+            dg1.astype(dt), w_res[:, : 4 * H],
+            dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=f32,
+        )  # (B8, R2k); cols >= R1 are exact zeros (zero-padded weight rows)
+        out_dprenet[sub] = dxh1[:, :P]
+        d_ctx_c = dxh1[:, P : P + D]
+        d_att_h = dxh1[:, P + D : R1]
+
+    # carries: local -> ref once per grid step; accumulators: ONE
+    # read-modify-write each with the summed sub-step contributions
+    o_d_att_h[:, :] = d_att_h
+    o_d_att_c[:, :] = d_att_c
+    o_d_ctx[:, :] = d_ctx_c
+    o_d_w[:, :] = d_w_c
+    o_d_cum[:, :] = d_cum_c
+    o_d_rnn_h[:, :] = d_rnn_h
+    o_d_rnn_c[:, :] = d_rnn_c
+    for name, ref in (("ctrl", o_d_ctrl), ("wq", o_d_wq), ("wv", o_d_wv),
+                      ("wlw", o_d_wlw), ("wout", o_d_wout)):
+        if name in accs:
+            ref[:, :] = ref[:, :] + accs[name]
+    if "attenc" in accs:
+        acc_attenc[:, :] = acc_attenc[:, :] + accs["attenc"]
+
+    @pl.when(k == T // steps - 1)
+    def _flush_attenc():
+        o_d_attenc[:, :] = acc_attenc[:, :]
 
 
 def _bwd_impl_pallas(policy, train, interpret, saved, cots):
@@ -924,9 +964,27 @@ def _bwd_chunk(policy, interpret, stash, w1, w2, small, encoded,
 
     import os
 
+    # time reversal: either reverse index maps (T-1-t, ...) inside the
+    # kernel (default — saves 14 stack flips per step), or outside flips
+    # with monotonic maps (T2T_BWD_FLIP=1; kept as the triage fallback
+    # from the compile-crash bisection, where flips were exonerated)
+    use_flip = os.environ.get("T2T_BWD_FLIP") == "1"
+    # 2-steps-per-grid-step (VERDICT r3 #2): TRIED and measured SLOWER —
+    # 48.1 vs 45.3 ms at B=32/512f, 93.1 vs 88.1 at B=64 (same-process
+    # A/B, identical losses). It compiles (the Mosaic complexity ceiling
+    # does NOT trip at 2× body), but halving the accumulator RMW (~1 of
+    # the ~6 (A, NL) passes) buys less than the doubled-body costs: fewer
+    # and fatter pipeline stages with doubled per-t DMA blocks and 2×
+    # sub-step live ranges. Default OFF; T2T_BWD_STEPS=2 opts in (even T,
+    # default time path only) as the documented experiment (PERF.md).
+    steps = 2 if (
+        T % 2 == 0 and not use_flip
+        and os.environ.get("T2T_BWD_STEPS", "1") == "2"
+    ) else 1
+
     kernel = functools.partial(
         _teacher_bwd_kernel, T=T, H=H, D=D, P=P, M=M, L=L, E=E, R1=R1,
-        LB=LB, BA=min(B, B8),
+        LB=LB, BA=min(B, B8), steps=steps,
         # debug-only bisection knob for Mosaic compile triage; 99 = full body
         level=int(os.environ.get("T2T_BWD_LEVEL", "99")),
     )
@@ -934,15 +992,11 @@ def _bwd_chunk(policy, interpret, stash, w1, w2, small, encoded,
     def resident(*shape):
         return pl.BlockSpec(shape, lambda t: (0,) * len(shape), memory_space=pltpu.VMEM)
 
-    # time reversal: either reverse index maps (T-1-t, ...) inside the
-    # kernel (default — saves 14 stack flips per step), or outside flips
-    # with monotonic maps (T2T_BWD_FLIP=1; kept as the triage fallback
-    # from the compile-crash bisection, where flips were exonerated)
-    use_flip = os.environ.get("T2T_BWD_FLIP") == "1"
+    Tg = T // steps
     if use_flip:
         def rev_t(*shape):
             return pl.BlockSpec(
-                (1,) + shape, lambda t: (t,) + (0,) * len(shape),
+                (steps,) + shape, lambda t: (t,) + (0,) * len(shape),
                 memory_space=pltpu.VMEM,
             )
 
@@ -950,7 +1004,7 @@ def _bwd_chunk(policy, interpret, stash, w1, w2, small, encoded,
     else:
         def rev_t(*shape):
             return pl.BlockSpec(
-                (1,) + shape, lambda t: (T - 1 - t,) + (0,) * len(shape),
+                (steps,) + shape, lambda t: (Tg - 1 - t,) + (0,) * len(shape),
                 memory_space=pltpu.VMEM,
             )
 
@@ -958,7 +1012,7 @@ def _bwd_chunk(policy, interpret, stash, w1, w2, small, encoded,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(T,),
+        grid=(Tg,),
         scratch_shapes=[
             pltpu.VMEM((B8, R2k), f32),  # xh
             pltpu.VMEM((B8, LB), f32), pltpu.VMEM((B8, LB), f32),  # wpadP/C
@@ -1174,7 +1228,15 @@ def pallas_bwd_supported(cfg, policy: Policy, batch: int,
         + 64 * A
         + R3 * 128
     )
-    # f32 scratch + the acc_attenc accumulator; the double-buffered per-t
-    # blocks (xh/dg/dmel rows) are small and folded into the margin
+    # f32 scratch + the acc_attenc accumulator
     scratch = 4 * (B8 * (R2k + 2 * LB + L) + A * B8 * LB)
-    return resident_bf16 + resident_f32 + scratch <= 88 * 1024 * 1024
+    # double-buffered per-t blocks, budgeted at the default 2-steps-per-
+    # grid-step (each block holds `steps` time rows): xh1/xh2/dg1/dg2 in
+    # compute dtype, the rest f32
+    P = cfg.prenet_dim
+    R1 = P + D + H
+    per_row = dsize * B8 * (R1 + R2k + 8 * H) + 4 * B8 * (
+        6 * H + 2 * L + 128 + L + P + D
+    )
+    per_t = 2 * 2 * per_row
+    return resident_bf16 + resident_f32 + scratch + per_t <= 88 * 1024 * 1024

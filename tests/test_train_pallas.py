@@ -210,8 +210,12 @@ def test_pallas_grad_with_gst():
         jax.tree_util.tree_leaves_with_path(g_std), jax.tree.leaves(g_p)
     ):
         scale = max(float(np.abs(np.asarray(a)).max()), 1e-6)
+        # absolute floor 5e-7: the GST reference-encoder bias grads are
+        # cancellation-dominated (~1e-8 survivors of ~1e-4 terms), so the
+        # 2-steps-per-grid-step accumulator reordering legitimately moves
+        # them by ~1e-7 (steps=1 matches at 1e-7; verified, r4)
         np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), atol=3e-5 * scale + 1e-7,
+            np.asarray(b), np.asarray(a), atol=3e-5 * scale + 5e-7,
             err_msg=f"gst grad mismatch at {jax.tree_util.keystr(path)}",
         )
 
