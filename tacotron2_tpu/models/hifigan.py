@@ -20,7 +20,8 @@ static: T mel frames -> T * prod(upsample_rates) samples.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+import math
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -152,6 +153,99 @@ class HiFiGAN:
                 x4 = xt + x4
         return x4
 
+    # ------------------------------------------------------------------
+    # Polyphase-by-dilation MRF (the r4 successor to the reverted dense
+    # fold): every conv runs as ONE im2col matmul on an s-phase folded
+    # layout (s = 128/ch fills the MXU lanes at the channel-starved late
+    # stages), and dilated convs are first phase-split (t mod d) so the
+    # folded weight stays DENSE. Redundancy is (s+k-1)/k (1.27-2x) instead
+    # of the dense fold's k4*s/k (4-5.5x) because only the s+k-1 used tap
+    # blocks enter the contraction. Algebraically exact (equality-gated in
+    # tests/test_parity_hifigan.py). Reference semantics being reproduced:
+    # model/hifi_gan.py:20-151 (ResBlock1/2 dilated convs).
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _row_shift(x, delta: int):
+        """y[:, t] = x[:, t+delta], zero-filled outside — the SAME-pad
+        zeros of the original conv, expressed on the folded row axis."""
+        if delta == 0:
+            return x
+        T = x.shape[1]
+        if delta > 0:
+            return jnp.pad(x[:, delta:], ((0, 0), (0, delta), (0, 0)))
+        return jnp.pad(x[:, : T + delta], ((0, 0), (-delta, 0), (0, 0)))
+
+    def _im2col_conv_dense(self, cp, x4, k: int, C: int, s: int):
+        """Dense (dilation-1) SAME conv on the s-phase folded layout
+        (B, T4, s*C) as one matmul.
+
+        y[s*t'+j, o] = sum_kappa x[s*t'+j+kappa-p, i] w[kappa, i, o],
+        p=(k-1)/2. The needed absolute offsets q = j+kappa-p form the
+        contiguous range [-p, s+k-2-p] (s+k-1 of them); offset q lives in
+        rolled-copy delta=floor(q/s), lane block q mod s — so X~ is a
+        lane-concat of contiguous sub-slices of a few row-shifted copies,
+        and W~ ((s+k-1)C, sC) places w[q-j+p] at (col(q), j) where valid."""
+        w, b = cp["w"], cp["b"]  # (k, C, C) WIO
+        p = (k - 1) // 2
+        offs = list(range(-p, s + k - 1 - p))
+        # X~: group contiguous offsets by row-shift delta
+        cols = []
+        for delta in range(offs[0] // s, offs[-1] // s + 1):
+            rs = [q % s for q in offs if q // s == delta]
+            if not rs:
+                continue
+            shifted = self._row_shift(x4, delta)
+            cols.append(shifted[..., min(rs) * C : (max(rs) + 1) * C])
+        xt = jnp.concatenate(cols, axis=-1)  # (B, T4, (s+k-1)C)
+        wt = jnp.zeros(((s + k - 1) * C, s * C), w.dtype)
+        for ci, q in enumerate(offs):
+            for j in range(s):
+                kappa = q - j + p
+                if 0 <= kappa < k:
+                    wt = wt.at[ci * C : (ci + 1) * C, j * C : (j + 1) * C].set(w[kappa])
+        pol = self.policy
+        y = jnp.matmul(pol.cast(xt), pol.cast(wt)).astype(jnp.float32)
+        return y + jnp.tile(b, s)
+
+    def _conv_poly(self, cp, x4, k: int, d: int, C: int, s: int):
+        """SAME conv with dilation d on the folded layout: d=1 goes
+        straight to the im2col matmul; d>1 phase-splits (t mod d) first so
+        each phase sees a DENSE conv (the taps t+kappa*d-p of output t all
+        share t mod d), then refolds. Requires T4*s % (s*d) == 0 —
+        guaranteed by the stage padding in apply()."""
+        if d == 1:
+            return self._im2col_conv_dense(cp, x4, k, C, s)
+        B, T4, _ = x4.shape
+        Lp = T4 * s
+        Ld = Lp // d
+        x = x4.reshape(B, Lp, C)
+        xp = x.reshape(B, Ld, d, C).transpose(0, 2, 1, 3)  # (B, d, Ld, C)
+        xp4 = xp.reshape(B * d, Ld // s, s * C)
+        yp4 = self._im2col_conv_dense(cp, xp4, k, C, s)
+        yp = yp4.reshape(B, d, Ld, C).transpose(0, 2, 1, 3)
+        return yp.reshape(B, T4, s * C)
+
+    def _resblock_poly(self, rb, x4, kernel: int, dilations: Sequence[int],
+                       C: int, s: int, mask4):
+        """_resblock on the s-phase folded layout via polyphase im2col
+        convs. mask4 re-zeroes the padded tail after every conv so taps
+        that reach past the true length read the same zeros the unfolded
+        SAME convs pad with (lrelu/residual preserve zeros on their own)."""
+        if self.cfg.resblock == "1":
+            for j, d in enumerate(dilations):
+                xt = jax.nn.leaky_relu(x4, LRELU_SLOPE)
+                xt = self._conv_poly(rb["convs1"][j], xt, kernel, d, C, s) * mask4
+                xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
+                xt = self._conv_poly(rb["convs2"][j], xt, kernel, 1, C, s) * mask4
+                x4 = xt + x4
+        else:
+            for j, d in enumerate(dilations):
+                xt = jax.nn.leaky_relu(x4, LRELU_SLOPE)
+                xt = self._conv_poly(rb["convs"][j], xt, kernel, d, C, s) * mask4
+                x4 = xt + x4
+        return x4
+
     def _resblock(self, rb, x, kernel: int, dilations: Sequence[int]):
         pol = self.policy
         if self.cfg.resblock == "1":
@@ -168,7 +262,9 @@ class HiFiGAN:
                 x = xt + x
         return x
 
-    def apply(self, params, mel: jnp.ndarray, fold: bool = False) -> jnp.ndarray:
+    def apply(self, params, mel: jnp.ndarray, fold: bool = False,
+              mrf_poly=False, mrf_pallas="auto",
+              interpret: bool = False) -> jnp.ndarray:
         """mel (B, T, num_mels) -> wav (B, T * total_upsample).
 
         (The reference takes (B, num_mels, T) and returns (B, 1, samples);
@@ -181,9 +277,36 @@ class HiFiGAN:
         (34.5 vs 25.5 µs/frame, ABAB on v5e): dilation spreads taps across
         ⌈(k−1)d/s⌉+1 folded kernel positions, so the dense folded weights
         carry ~4-5.5× the FLOPs, cancelling the ~4× utilization gain.
-        Default OFF; kept as the documented experiment (PERF.md)."""
+        Default OFF; kept as the documented experiment (PERF.md).
+
+        ``mrf_poly``: polyphase-by-dilation MRF (r4, see _resblock_poly) —
+        the exact rewrite that fixes the dense fold's FLOP redundancy, but
+        at the XLA level, where the tap matrix materializes to HBM:
+        measured 2-4x SLOWER (tools/vocoder_poly_bench.py). Kept as the
+        documented negative. bool (all stages) or per-stage sequence; odd
+        kernels only (the reference's are).
+
+        ``mrf_pallas``: the production answer (ops/mrf_pallas.py) — the
+        same rewrite fused into one Pallas kernel per stage, tap matrix
+        never leaving VMEM, folded weights launch-resident: 9.3 vs 25.3
+        µs/frame on v5e (2.7×, tools/vocoder_poly_bench.py). bool or
+        per-stage sequence; takes precedence over mrf_poly. Default
+        "auto": all stages fused on accelerator backends, plain XLA convs
+        on CPU (Mosaic compiles TPU-only; CPU tests pass interpret=True
+        explicitly)."""
         cfg, pol = self.cfg, self.policy
+        if mrf_pallas == "auto":
+            mrf_pallas = interpret or jax.default_backend() != "cpu"
         num_kernels = len(cfg.resblock_kernel_sizes)
+        n_stages = len(cfg.upsample_rates)
+        poly_stages = (
+            list(mrf_poly) if isinstance(mrf_poly, (list, tuple))
+            else [bool(mrf_poly)] * n_stages
+        )
+        pallas_stages = (
+            list(mrf_pallas) if isinstance(mrf_pallas, (list, tuple))
+            else [bool(mrf_pallas)] * n_stages
+        )
 
         x = layers.conv1d_apply(params["conv_pre"], mel, pol, padding=3)
         ch = cfg.upsample_initial_channel
@@ -192,6 +315,50 @@ class HiFiGAN:
             x = layers.conv_transpose1d_apply(params["ups"][i], x, stride=u, padding=(k - u) // 2, policy=pol)
             ch //= 2
             L = x.shape[1]
+            if pallas_stages[i] and all(kk % 2 == 1 for kk in cfg.resblock_kernel_sizes):
+                from tacotron2_tpu.ops.mrf_pallas import mrf_stage_pallas
+
+                rbs = [
+                    params["resblocks"][i * num_kernels + j]
+                    for j in range(num_kernels)
+                ]
+                x = mrf_stage_pallas(
+                    rbs, x, resblock=cfg.resblock,
+                    kernels=cfg.resblock_kernel_sizes,
+                    dilations=cfg.resblock_dilation_sizes,
+                    bf16=(pol.compute_dtype == jnp.bfloat16),
+                    interpret=interpret,
+                )
+                continue
+            poly = poly_stages[i] and all(
+                kk % 2 == 1 for kk in cfg.resblock_kernel_sizes
+            )
+            if poly:
+                B = x.shape[0]
+                s = 128 // ch if (ch < 128 and 128 % ch == 0) else 1
+                lcm_d = 1
+                for dil in cfg.resblock_dilation_sizes:
+                    for d in dil:
+                        lcm_d = math.lcm(lcm_d, d)
+                unit = s * lcm_d
+                Lp = ((L + unit - 1) // unit) * unit
+                xpad = jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
+                x4 = xpad.reshape(B, Lp // s, s * ch)
+                mask4 = (
+                    (jnp.arange(Lp) < L).astype(jnp.float32)
+                    .repeat(ch)
+                    .reshape(1, Lp // s, s * ch)
+                )
+                acc = None
+                for j in range(num_kernels):
+                    rb = params["resblocks"][i * num_kernels + j]
+                    y = self._resblock_poly(
+                        rb, x4, cfg.resblock_kernel_sizes[j],
+                        cfg.resblock_dilation_sizes[j], ch, s, mask4,
+                    )
+                    acc = y if acc is None else acc + y
+                x = (acc / num_kernels).reshape(B, Lp, ch)[:, :L]
+                continue
             s = 128 // ch if (fold and ch < 128 and L % (128 // ch) == 0) else 1
             if s > 1:
                 x = x.reshape(x.shape[0], L // s, s * ch)

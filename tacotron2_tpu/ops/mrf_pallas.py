@@ -1,0 +1,330 @@
+"""Fused HiFi-GAN MRF stage as ONE Pallas TPU kernel (VERDICT r3 #1).
+
+The vocoder's multi-receptive-field resblocks are ~95% of its cost and the
+late stages are channel-starved on the 128x128 MXU (ch=32 runs at 4.2% MFU
+through XLA convs — PERF.md). Two prior attempts established the design
+constraints:
+
+- r3 dense phase-fold (HiFiGAN._fold_conv): the folded weight of a DILATED
+  conv carries 4-5.5x redundant FLOPs — measured SLOWER (34.5 vs 25.5
+  us/frame).
+- r4 XLA-level im2col (HiFiGAN._resblock_poly): algebraically fixes the
+  redundancy, but XLA materializes the (T, (s+k-1)C) tap matrix to HBM —
+  measured 2-4x SLOWER (tools/vocoder_poly_bench.py). The im2col must
+  never leave VMEM.
+
+So: one kernel per upsample stage. The whole stage (3 resblocks x [lrelu ->
+dilated conv -> lrelu -> conv -> residual], mean) runs on a time tile held
+in VMEM with halo overlap-recompute at the tile edges; each conv is ONE MXU
+dot of an in-VMEM tap matrix (built from static row/lane slices of the
+tile) against a launch-resident folded weight block:
+
+- channels C < 128 are s = 128/C phase-FOLDED: row t' of the (T/s, s*C)
+  layout holds positions s*t'+j in lane blocks j — output lanes fill the
+  MXU.
+- a dense (d=1) conv needs tap blocks at the s+k-1 distinct offsets
+  q = j + kappa - p — redundancy (s+k-1)/k, i.e. 1.27-2x, not 4-5.5x.
+- a dilated conv gathers per-kappa runs [kappa*d-p, kappa*d-p+s) (k*s
+  blocks, dups kept so the weight stays a plain block-select; at s=1 this
+  is exactly k blocks, no redundancy).
+
+Weight folding is an einsum with a constant 0/1 selection tensor
+(fold_weight), done once per call outside the kernel.
+
+Reference semantics reproduced: model/hifi_gan.py:20-151 (ResBlock1/2),
+:154-216 (generator MRF mean). Equality vs the base conv path is gated in
+tests/test_mrf_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LRELU_SLOPE = 0.1  # model/hifi_gan.py:7
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# tap plans: which input offsets (in unfolded time) each conv's tap matrix
+# carries, in lane-block order — shared between the in-kernel build and the
+# weight fold so the two can never drift.
+# ---------------------------------------------------------------------------
+
+def conv_offsets(k: int, d: int, s: int) -> list:
+    """Unfolded-time offsets of the tap-matrix C-blocks, in order."""
+    p = d * (k - 1) // 2
+    if d == 1:
+        return list(range(-p, s + k - 1 - p))
+    if s == 1:
+        return [kap * d - p for kap in range(k)]
+    # per-kappa runs of s consecutive offsets (duplicates possible when
+    # runs overlap; each (j, kappa) pair is charged to its own run)
+    return [kap * d - p + j for kap in range(k) for j in range(s)]
+
+
+def fold_weight(w: jnp.ndarray, k: int, d: int, s: int) -> jnp.ndarray:
+    """(k, C, C) WIO conv weight -> (m*C, s*C) tap-matmul weight.
+
+    Row block q (offset offs[q]), input channel i; column block j (output
+    phase), output channel o: sum_kappa S[q, j, kappa] w[kappa, i, o] with
+    S a constant 0/1 selector assigning each (j, kappa) pair to exactly
+    one tap block."""
+    C = w.shape[1]
+    offs = conv_offsets(k, d, s)
+    m = len(offs)
+    p = d * (k - 1) // 2
+    S = np.zeros((m, s, k), np.float32)
+    if d > 1 and s > 1:
+        for kap in range(k):
+            for j in range(s):
+                S[kap * s + j, j, kap] = 1.0
+    else:
+        for q, off in enumerate(offs):
+            for j in range(s):
+                num = off - j + p
+                if num % d == 0 and 0 <= num // d < k:
+                    S[q, j, num // d] = 1.0
+    wt = jnp.einsum("qjk,kio->qijo", jnp.asarray(S), w)
+    return wt.reshape(m * C, s * C)
+
+
+def _stage_convs(resblock: str, kernels, dilations):
+    """Flat (k, d) list for one stage, resblock-major, matching the
+    sequential compute order inside the kernel."""
+    convs = []
+    for kr, dil in zip(kernels, dilations):
+        for d in dil:
+            if resblock == "1":
+                convs.append((kr, d))
+                convs.append((kr, 1))
+            else:
+                convs.append((kr, d))
+    return convs
+
+
+def stage_reach(resblock: str, kernels, dilations) -> int:
+    """Max one-sided receptive reach (unfolded rows) of any resblock chain
+    — the halo each tile must recompute."""
+    reach = 0
+    for kr, dil in zip(kernels, dilations):
+        r = 0
+        for d in dil:
+            r += d * (kr - 1) // 2
+            if resblock == "1":
+                r += (kr - 1) // 2
+        reach = max(reach, r)
+    return reach
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _row_shift(t, delta: int):
+    """y[r] = t[r+delta], zero-filled — valid inside the halo margin."""
+    if delta == 0:
+        return t
+    Te, W = t.shape
+    z = jnp.zeros((abs(delta), W), t.dtype)
+    if delta > 0:
+        return jnp.concatenate([t[delta:], z], axis=0)
+    return jnp.concatenate([z, t[: Te + delta]], axis=0)
+
+
+def _build_taps(t, k: int, d: int, s: int, C: int):
+    """In-VMEM tap matrix (Te, m*C) for one conv — static slices only."""
+    p = d * (k - 1) // 2
+    pieces = []
+    if d == 1:
+        offs = conv_offsets(k, d, s)
+        delta0, delta1 = offs[0] // s, offs[-1] // s
+        for delta in range(delta0, delta1 + 1):
+            rs = [q % s for q in offs if q // s == delta]
+            if not rs:
+                continue
+            sh = _row_shift(t, delta)
+            pieces.append(sh[:, min(rs) * C : (max(rs) + 1) * C])
+    elif s == 1:
+        for kap in range(k):
+            pieces.append(_row_shift(t, kap * d - p))
+    else:
+        for kap in range(k):
+            delta, r = divmod(kap * d - p, s)
+            a = _row_shift(t, delta)
+            pieces.append(a[:, r * C :] if r else a)
+            if r:
+                pieces.append(_row_shift(t, delta + 1)[:, : r * C])
+    return jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
+
+
+def _make_stage_kernel(resblock: str, kernels, dilations, C: int, s: int,
+                       Tt: int, H: int, L: int, n_resblocks: int,
+                       row_offs, dot_dtype):
+    """Returns the Pallas kernel for one MRF stage.
+
+    row_offs: per-conv row offsets into the packed resident weight block.
+    L: valid unfolded length (static) — drives the boundary mask."""
+    convs = _stage_convs(resblock, kernels, dilations)
+    Te = Tt + 2 * H
+    sC = s * C
+    f32 = jnp.float32
+
+    def kernel(xprev_ref, xcur_ref, xnext_ref, wcat_ref, bcat_ref, out_ref):
+        g = pl.program_id(0)
+        x = jnp.concatenate(
+            [xprev_ref[Tt - H :], xcur_ref[...], xnext_ref[:H]], axis=0
+        )  # (Te, sC) f32, folded rows [g*Tt - H, (g+1)*Tt + H)
+        # boundary mask: unfolded pos of (row r, lane l) = s*(g*Tt - H + r)
+        # + l//C; every conv output is re-zeroed outside [0, L) — the same
+        # zeros the reference's per-conv SAME padding supplies
+        rows = jax.lax.broadcasted_iota(jnp.int32, (Te, sC), 0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (Te, sC), 1)
+        pos = s * (g * Tt - H + rows) + lanes // C
+        mask = ((pos >= 0) & (pos < L)).astype(f32)
+
+        def conv(t, ci):
+            k, d = convs[ci]
+            taps = _build_taps(t, k, d, s, C)
+            m = taps.shape[1] // C
+            w = wcat_ref[row_offs[ci] : row_offs[ci] + m * C, :]
+            y = jax.lax.dot_general(
+                taps.astype(dot_dtype), w.astype(dot_dtype),
+                (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            )
+            return (y + bcat_ref[ci : ci + 1, :]) * mask
+
+        acc = None
+        ci = 0
+        for rk, (kr, dil) in enumerate(zip(kernels, dilations)):
+            z = x
+            for d in dil:
+                t = jnp.where(z > 0, z, LRELU_SLOPE * z)
+                t = conv(t, ci)
+                ci += 1
+                if resblock == "1":
+                    t = jnp.where(t > 0, t, LRELU_SLOPE * t)
+                    t = conv(t, ci)
+                    ci += 1
+                z = z + t
+            zc = z[H : H + Tt]
+            acc = zc if acc is None else acc + zc
+        out_ref[...] = acc * (1.0 / n_resblocks)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# host wrapper
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "resblock", "kernels", "dilations", "L", "C", "interpret", "bf16"
+    ),
+)
+def _mrf_stage_call(wcat, bcat, x, *, resblock, kernels, dilations, L, C,
+                    interpret, bf16):
+    s = 128 // C if (C < 128 and 128 % C == 0) else 1
+    sC = s * C
+    reach = stage_reach(resblock, kernels, dilations)
+    H = _round_up(-(-reach // s), 8)
+    T4 = -(-L // s)
+    Tt = min(1024, max(_round_up(T4, 8), H))
+    tiles = -(-T4 // Tt)
+    T4p = tiles * Tt
+
+    B = x.shape[0]
+    xp = jnp.pad(x, ((0, 0), (0, T4p * s - L), (0, 0)))
+    x4 = xp.reshape(B, T4p, sC)
+    x4pad = jnp.pad(x4, ((0, 0), (Tt, Tt), (0, 0)))
+
+    n_convs = len(_stage_convs(resblock, kernels, dilations))
+    row_offs = []
+    r = 0
+    for k, d in _stage_convs(resblock, kernels, dilations):
+        row_offs.append(r)
+        r += len(conv_offsets(k, d, s)) * C
+    R8 = _round_up(r, 8)
+    wcat = jnp.pad(wcat, ((0, R8 - r), (0, 0)))
+    n8 = _round_up(n_convs, 8)
+    bcat = jnp.pad(bcat, ((0, n8 - n_convs), (0, 0)))
+
+    kernel = _make_stage_kernel(
+        resblock, kernels, dilations, C, s, Tt, H, L,
+        len(kernels), tuple(row_offs),
+        jnp.bfloat16 if bf16 else jnp.float32,
+    )
+    grid_spec = pl.GridSpec(
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((Tt, sC), lambda g: (g, 0)),
+            pl.BlockSpec((Tt, sC), lambda g: (g + 1, 0)),
+            pl.BlockSpec((Tt, sC), lambda g: (g + 2, 0)),
+            pl.BlockSpec((R8, sC), lambda g: (0, 0)),
+            pl.BlockSpec((n8, sC), lambda g: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Tt, sC), lambda g: (g, 0)),
+    )
+
+    def one(x1):
+        with jax.default_matmul_precision("default"):
+            y = pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((T4p, sC), jnp.float32),
+                interpret=interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=int(100 * 1024 * 1024),
+                ),
+            )(x1, x1, x1, wcat, bcat)
+        return y.reshape(T4p * s, C)[:L]
+
+    return jax.vmap(one)(x4pad)
+
+
+def pack_stage_weights(rb_params: Sequence[dict], resblock: str, kernels,
+                       dilations, C: int):
+    """Fold one stage's resblock conv weights into the kernel's resident
+    block: (sum_m m*C, s*C) f32 weight concat + (n_convs, s*C) biases."""
+    s = 128 // C if (C < 128 and 128 % C == 0) else 1
+    wts, bs = [], []
+    for rb, (kr, dil) in zip(rb_params, zip(kernels, dilations)):
+        for di, d in enumerate(dil):
+            if resblock == "1":
+                wts.append(fold_weight(rb["convs1"][di]["w"], kr, d, s))
+                bs.append(jnp.tile(rb["convs1"][di]["b"], s))
+                wts.append(fold_weight(rb["convs2"][di]["w"], kr, 1, s))
+                bs.append(jnp.tile(rb["convs2"][di]["b"], s))
+            else:
+                wts.append(fold_weight(rb["convs"][di]["w"], kr, d, s))
+                bs.append(jnp.tile(rb["convs"][di]["b"], s))
+    return jnp.concatenate(wts, axis=0), jnp.stack(bs, axis=0)
+
+
+def mrf_stage_pallas(rb_params: Sequence[dict], x: jnp.ndarray, *,
+                     resblock: str, kernels, dilations, bf16: bool = True,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Fused MRF stage: mean over resblocks of resblock_k(x).
+
+    x (B, L, C) f32 -> (B, L, C) f32. Exact vs the base conv path up to
+    dot rounding (bf16=False on CPU matches to f32 rounding)."""
+    B, L, C = x.shape
+    wcat, bcat = pack_stage_weights(rb_params, resblock, kernels, dilations, C)
+    return _mrf_stage_call(
+        wcat, bcat, x,
+        resblock=resblock, kernels=tuple(kernels),
+        dilations=tuple(tuple(d) for d in dilations),
+        L=L, C=C, interpret=interpret, bf16=bf16,
+    )

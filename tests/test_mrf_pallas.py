@@ -1,0 +1,70 @@
+"""Equality gates for the fused Pallas MRF stage kernel
+(tacotron2_tpu/ops/mrf_pallas.py) vs the base conv path — interpret mode
+on the CPU mesh, f32 dots (bf16=False) so the comparison is exact up to
+f32 rounding. Reference semantics: model/hifi_gan.py:20-151 (ResBlock1/2),
+:154-216 (MRF mean)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tacotron2_tpu.models.hifigan import HiFiGAN, HiFiGANConfig
+from tacotron2_tpu.models.layers import Policy
+from tacotron2_tpu.ops.mrf_pallas import mrf_stage_pallas
+
+
+def _rb_params(rng, rb_type, kernels, dils, C):
+    def conv(kr):
+        return {
+            "w": jnp.asarray(rng.standard_normal((kr, C, C)).astype(np.float32) * 0.05),
+            "b": jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1),
+        }
+
+    rbs = []
+    for kr, dil in zip(kernels, dils):
+        if rb_type == "1":
+            rbs.append({"convs1": [conv(kr) for _ in dil],
+                        "convs2": [conv(kr) for _ in dil]})
+        else:
+            rbs.append({"convs": [conv(kr) for _ in dil]})
+    return rbs
+
+
+@pytest.mark.parametrize("rb_type,kernels,dils", [
+    ("1", (3, 7, 11), ((1, 3, 5),) * 3),   # UNIVERSAL_V1 structure
+    ("2", (3, 5), ((1, 3), (1, 3))),
+])
+@pytest.mark.parametrize("C", [32, 128])   # s = 4 (folded) and s = 1
+def test_mrf_stage_kernel_matches_base(rb_type, kernels, dils, C):
+    rng = np.random.default_rng(0)
+    model = HiFiGAN(HiFiGANConfig(
+        resblock=rb_type, resblock_kernel_sizes=kernels,
+        resblock_dilation_sizes=dils))
+    rbs = _rb_params(rng, rb_type, kernels, dils, C)
+    for L in (333, 1024):  # non-multiple and multiple of every fold unit
+        x = jnp.asarray(rng.standard_normal((2, L, C)).astype(np.float32))
+        acc = None
+        for j, (kr, dil) in enumerate(zip(kernels, dils)):
+            y = model._resblock(rbs[j], x, kr, dil)
+            acc = y if acc is None else acc + y
+        ref = np.asarray(acc / len(kernels))
+        got = np.asarray(mrf_stage_pallas(
+            rbs, x, resblock=rb_type, kernels=kernels, dilations=dils,
+            bf16=False, interpret=True))
+        np.testing.assert_allclose(
+            got, ref, atol=1e-5 * max(np.abs(ref).max(), 1e-3))
+
+
+def test_hifigan_apply_mrf_pallas_matches_base():
+    """Full generator with every stage's MRF through the fused kernel."""
+    rng = np.random.default_rng(1)
+    m = HiFiGAN(HiFiGANConfig(
+        upsample_rates=(4, 2, 2), upsample_kernel_sizes=(8, 4, 4),
+        upsample_initial_channel=256, num_mels=16),
+        Policy.from_string("32-true"))
+    p = jax.tree.map(lambda a: a * 3.0, m.init(jax.random.PRNGKey(0)))
+    mel = jnp.asarray(rng.standard_normal((2, 13, 16)).astype(np.float32))
+    a = np.asarray(m.apply(p, mel))
+    b = np.asarray(m.apply(p, mel, mrf_pallas=True, interpret=True))
+    np.testing.assert_allclose(b, a, atol=1e-5 * max(np.abs(a).max(), 1e-3))

