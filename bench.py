@@ -107,6 +107,14 @@ def main():
     rtf = sec_per_step * FRAMES_PER_SEC_AUDIO / batch
     target_fps = FRAMES_PER_SEC_AUDIO / TARGET_RTF
 
+    # MFU accounting (utils/flops.py): analytic FLOPs for the measured
+    # workload -> achieved TFLOP/s and % of the v5e peak for the dtype
+    from tacotron2_tpu.utils.flops import (
+        V5E_BF16_TFLOPS, V5E_INT8_TOPS, decode_step_flops, mfu,
+    )
+    peak = V5E_INT8_TOPS if use_int8 else V5E_BF16_TFLOPS
+    tf, frac = mfu(decode_step_flops(cfg, chars_len), frames_per_sec, peak)
+
     print(
         json.dumps(
             {
@@ -114,13 +122,17 @@ def main():
                 "value": round(frames_per_sec, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(frames_per_sec / target_fps, 3),
+                "achieved_tflops": round(tf, 2),
+                "mfu_pct": round(100 * frac, 2),
             }
         )
     )
     print(
         f"# say RTF {rtf:.4f} (target < {TARGET_RTF}), batch={batch}, "
         f"{sec_per_step * 1e6:.1f} us/step (slope over {len_a}->{len_b} frames, "
-        f"median of {iters}), device={jax.devices()[0].device_kind}",
+        f"median of {iters}), device={jax.devices()[0].device_kind}, "
+        f"{tf:.1f} TF/s = {100 * frac:.1f}% of {peak:.0f} "
+        f"{'TOP/s int8' if use_int8 else 'TFLOP/s bf16'} peak",
         file=sys.stderr,
     )
 
