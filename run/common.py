@@ -114,13 +114,28 @@ def load_hifigan(checkpoint: Optional[str]):
     return HiFiGAN(HiFiGANConfig.from_dict(h)), params
 
 
+_VOCODER_JIT: dict = {}
+
+
+def jitted_vocoder(hifigan):
+    """Cached ``jax.jit`` of a HiFiGAN's apply. The warm server vocodes per
+    request; a fresh jit wrapper each call would re-trace (and re-load the
+    persistent compile cache) every time. Keyed by object identity with a
+    strong ref so id() can't be recycled."""
+    import jax
+
+    ent = _VOCODER_JIT.get(id(hifigan))
+    if ent is None or ent[0] is not hifigan:
+        ent = (hifigan, jax.jit(hifigan.apply))
+        _VOCODER_JIT[id(hifigan)] = ent
+    return ent[1]
+
+
 def vocode(mel_post: np.ndarray, hifigan, hifi_params, sample_rate: int) -> np.ndarray:
     """mel (T, M) log-mel -> waveform. HiFi-GAN on-device if given, else
     Griffin-Lim on exp(mel) (run/say.py:153-171)."""
     if hifigan is not None:
-        import jax
-
-        wav = np.asarray(jax.jit(hifigan.apply)(hifi_params, mel_post[None]))[0]
+        wav = np.asarray(jitted_vocoder(hifigan)(hifi_params, mel_post[None]))[0]
         return wav
     from tacotron2_tpu.audio.griffin_lim import mel_to_audio
 

@@ -168,6 +168,34 @@ class Tacotron2:
             x = layers.dropout(sub, x, cfg.dropout)
         return x
 
+    def _prenet_rows(self, params, x, row_keys, t, dropout_enabled: bool):
+        """``_prenet`` with INDEPENDENT per-row AlwaysDropout streams: row
+        b's masks come from fold_in(row_keys[b], t) + the same two splits,
+        drawn at shape (1, P) — bit-identical to a batch-of-1 ``_prenet``
+        seeded with row_keys[b]. This is the contract behind the server's
+        dynamic batching (run/server.py): a request's audio is unchanged
+        by whichever other requests share its batch."""
+        cfg = self.cfg
+        if not dropout_enabled or cfg.dropout == 0.0:
+            return self._prenet(params, x, None, False)
+        p = params["prenet"]
+        d = cfg.dropout
+
+        def one_row(k):
+            key = jax.random.fold_in(k, t)
+            key, s1 = jax.random.split(key)
+            key, s2 = jax.random.split(key)
+            m1 = jax.random.bernoulli(s1, 1.0 - d, (1, cfg.prenet_dim))
+            m2 = jax.random.bernoulli(s2, 1.0 - d, (1, cfg.prenet_dim))
+            return m1[0], m2[0]
+
+        m1, m2 = jax.vmap(one_row)(row_keys)
+        x = jax.nn.relu(layers.linear_apply(p["fc1"], x, self.policy))
+        x = jnp.where(m1, x / (1.0 - d), 0.0)  # == layers.dropout bitwise
+        x = jax.nn.relu(layers.linear_apply(p["fc2"], x, self.policy))
+        x = jnp.where(m2, x / (1.0 - d), 0.0)
+        return x
+
     def _encode(
         self,
         params,
@@ -470,15 +498,32 @@ class Tacotron2:
         description_embeddings=None,
         prenet_dropout: bool = True,
         gst_reference_mel=None,  # GST: neutral (zeros-reference) style if None
+        row_rngs=None,  # (B, 2) uint32: independent per-row PRNG streams
     ) -> Tacotron2Output:
         """Free-running decode as ONE lax.while_loop with early stop when all
         gates fire (reference: model/tacotron2.py:262-325). Static-shaped
-        (max_len,) output buffers; frames past the executed steps stay zero."""
+        (max_len,) output buffers; frames past the executed steps stay zero.
+
+        ``row_rngs`` gives each batch row its own PRNG stream (split(·,3)[2]
+        chain, matching the scalar ``rng`` path at B=1) so dynamically
+        batched serving reproduces single-request audio exactly."""
         cfg = self.cfg
         self._check_controls(controls)
         B, L = chars_idx.shape
 
         rng, enc_rng, pre_rng = jax.random.split(rng, 3)
+        row_pre = (
+            None if row_rngs is None
+            else jax.vmap(lambda k: jax.random.split(k, 3)[2])(row_rngs)
+        )
+
+        def prenet_at(x, t):
+            if row_pre is None:
+                return self._prenet(
+                    params, x, jax.random.fold_in(pre_rng, t), prenet_dropout
+                )
+            return self._prenet_rows(params, x, row_pre, t, prenet_dropout)
+
         style = self._infer_style(params, state, B, gst_reference_mel)
         encoded, att_encoded, mask, _ = self._encode(
             params, state, chars_idx, chars_len, False, enc_rng,
@@ -488,9 +533,7 @@ class Tacotron2:
         dec_state = decoder_mod.init_state(
             B, L, cfg.att_rnn_dim, cfg.encoded_full_dim, cfg.rnn_hidden_dim
         )
-        prev_prenet = self._prenet(
-            params, jnp.zeros((B, cfg.num_mels)), jax.random.fold_in(pre_rng, 0), prenet_dropout
-        )
+        prev_prenet = prenet_at(jnp.zeros((B, cfg.num_mels)), 0)
 
         mels_buf = jnp.zeros((max_len, B, cfg.num_mels), jnp.float32)
         gates_buf = jnp.full((max_len, B), GATE_MASK_VALUE, jnp.float32)
@@ -516,9 +559,7 @@ class Tacotron2:
             # counts every executed step whose gate stayed non-negative
             done = jnp.logical_or(done, g < 0.0)
             lengths = lengths + (g >= 0.0).astype(jnp.int32)
-            prev_prenet = self._prenet(
-                params, mel, jax.random.fold_in(pre_rng, t + 1), prenet_dropout
-            )
+            prev_prenet = prenet_at(mel, t + 1)
             return (t + 1, done, lengths, prev_prenet, dec_state, mels_buf, gates_buf, aligns_buf)
 
         init = (
@@ -626,6 +667,7 @@ class Tacotron2:
         shard_mesh=None,  # jax.sharding.Mesh: batch-sharded multi-chip decode
         batch_kernel_cap: int = 64,  # bf16 kernel's per-launch batch ceiling
         int8_batch_kernel_cap: int = 128,  # int8 kernel's measured ceiling
+        row_rngs=None,  # (B, 2) uint32: independent per-row PRNG streams
     ) -> Tacotron2Output:
         """Free-running decode through the fused Pallas kernel
         (tacotron2_tpu.ops.decoder_loop_pallas) — the TPU fast path. Same
@@ -660,6 +702,13 @@ class Tacotron2:
             n_shards = shard_mesh.shape["data"]
         B_local = B // n_shards
         rng, enc_rng, pre_rng = jax.random.split(rng, 3)
+        # per-row PRNG streams (server dynamic batching): row b's prenet
+        # masks are drawn bit-identically to a batch-of-1 call with
+        # rng=row_rngs[b] — same split(·,3)[2] chain as the scalar path
+        row_pre = (
+            None if row_rngs is None
+            else jax.vmap(lambda k: jax.random.split(k, 3)[2])(row_rngs)
+        )
         style = self._infer_style(params, state, B, gst_reference_mel)
         encoded, att_encoded, mask, _ = self._encode(
             params, state, chars_idx, chars_len, False, enc_rng,
@@ -696,7 +745,7 @@ class Tacotron2:
             cw = chunk_width or min(2048 if quantize else 1024, streamed)
             while streamed % cw:
                 cw //= 2
-        def decode_chunked(packed_, enc_, att_, msk_, ctl_, r):
+        def decode_chunked(packed_, enc_, att_, msk_, ctl_, r, row_pre_=None):
             """Run the fused loop, BATCH-CHUNKED past ``batch_kernel_cap``
             rows per launch: the bf16 kernel's attention epilogue hits the
             Mosaic compile ceiling at B8=128 (PERF.md), so larger batches
@@ -723,6 +772,7 @@ class Tacotron2:
                     rng=jax.random.fold_in(r, c0) if c0 else r,
                     controls=None if ctl_ is None else ctl_[c0:c1],
                     prenet_dropout=prenet_dropout,
+                    row_rngs=None if row_pre_ is None else row_pre_[c0:c1],
                 ))
             if len(outs) == 1:
                 return outs[0]
@@ -734,10 +784,13 @@ class Tacotron2:
         if n_shards > 1:
             from jax.sharding import PartitionSpec as PS
 
-            def local_decode(packed_, enc_, att_, msk_, ctl_):
-                # independent prenet-dropout stream per shard
+            def local_decode(packed_, enc_, att_, msk_, ctl_, row_pre_):
+                # independent prenet-dropout stream per shard (per-row
+                # streams shard with the batch when row_rngs is given)
                 r = jax.random.fold_in(pre_rng, jax.lax.axis_index("data"))
-                m, g, a, ln, es = decode_chunked(packed_, enc_, att_, msk_, ctl_, r)
+                m, g, a, ln, es = decode_chunked(
+                    packed_, enc_, att_, msk_, ctl_, r, row_pre_
+                )
                 return m, g, a, ln, es[None]
 
             mels, gates, aligns, lengths, exec_steps = jax.shard_map(
@@ -746,15 +799,16 @@ class Tacotron2:
                     jax.tree.map(lambda _: PS(), packed),
                     PS("data"), PS("data"), PS("data"),
                     None if controls is None else PS("data"),
+                    None if row_pre is None else PS("data"),
                 ),
                 out_specs=(PS("data"), PS("data"), PS("data"), PS("data"),
                            PS("data")),
                 check_vma=False,
-            )(packed, encoded, att_encoded, mask, controls)
+            )(packed, encoded, att_encoded, mask, controls, row_pre)
             exec_steps = jnp.max(exec_steps)
         else:
             mels, gates, aligns, lengths, exec_steps = decode_chunked(
-                packed, encoded, att_encoded, mask, controls, pre_rng
+                packed, encoded, att_encoded, mask, controls, pre_rng, row_pre
             )
         post, _ = postnet_mod.apply(
             params["postnet"], state["postnet"], mels, False, cfg.dropout, None, self.policy

@@ -615,21 +615,41 @@ class FusedDecodeLoop:
             )
 
     # ------------------------------------------------------------------
-    def _prenet_masks(self, rng, t0: jnp.ndarray, prenet_dropout: bool):
+    def _prenet_masks(self, rng, t0: jnp.ndarray, prenet_dropout: bool,
+                      row_rngs=None):
         """AlwaysDropout scale masks, bit-matching Tacotron2._prenet's PRNG
-        (fold_in(rng, t) then two splits) on the REAL batch rows."""
+        (fold_in(rng, t) then two splits) on the REAL batch rows.
+
+        ``row_rngs`` ((B, 2) uint32 keys) switches to INDEPENDENT per-row
+        streams: row b draws its masks at shape (1, P) from its own key
+        chain, bit-identical to a batch-of-1 decode seeded with
+        ``row_rngs[b]`` — so a dynamically batched serving request
+        reproduces its single-request audio exactly (run/server.py)."""
         B, B8, P = self.B, self.B8, self.P
         if not prenet_dropout or self.dropout == 0.0:
             ones = jnp.ones((T_CHUNK, B8, P), jnp.float32)
             return ones, ones
+        scale = 1.0 / (1.0 - self.dropout)
 
         def one_step(t):
-            key = jax.random.fold_in(rng, t)
-            key, k1 = jax.random.split(key)
-            key, k2 = jax.random.split(key)
-            scale = 1.0 / (1.0 - self.dropout)
-            m1 = jax.random.bernoulli(k1, 1.0 - self.dropout, (B, P)).astype(jnp.float32) * scale
-            m2 = jax.random.bernoulli(k2, 1.0 - self.dropout, (B, P)).astype(jnp.float32) * scale
+            if row_rngs is None:
+                key = jax.random.fold_in(rng, t)
+                key, k1 = jax.random.split(key)
+                key, k2 = jax.random.split(key)
+                m1 = jax.random.bernoulli(k1, 1.0 - self.dropout, (B, P))
+                m2 = jax.random.bernoulli(k2, 1.0 - self.dropout, (B, P))
+            else:
+                def one_row(k):
+                    key = jax.random.fold_in(k, t)
+                    key, k1 = jax.random.split(key)
+                    key, k2 = jax.random.split(key)
+                    r1 = jax.random.bernoulli(k1, 1.0 - self.dropout, (1, P))
+                    r2 = jax.random.bernoulli(k2, 1.0 - self.dropout, (1, P))
+                    return r1[0], r2[0]
+
+                m1, m2 = jax.vmap(one_row)(row_rngs)
+            m1 = m1.astype(jnp.float32) * scale
+            m2 = m2.astype(jnp.float32) * scale
             pad = ((0, B8 - B), (0, 0))
             return jnp.pad(m1, pad), jnp.pad(m2, pad)
 
@@ -637,7 +657,8 @@ class FusedDecodeLoop:
         return m1, m2
 
     def decode(self, packed: PackedDecoder, encoded, att_encoded, pad_mask,
-               max_len: int, rng=None, controls=None, prenet_dropout: bool = True):
+               max_len: int, rng=None, controls=None, prenet_dropout: bool = True,
+               row_rngs=None):
         """Full decode with early stop at chunk granularity.
 
         encoded (B, Lc, D), att_encoded (B, Lc, A), pad_mask (B, Lc) True
@@ -688,7 +709,8 @@ class FusedDecodeLoop:
 
         def body(carry):
             k, done, state, mels_buf, align_buf = carry
-            dmasks = self._prenet_masks(rng, k * T_CHUNK, prenet_dropout)
+            dmasks = self._prenet_masks(rng, k * T_CHUNK, prenet_dropout,
+                                        row_rngs=row_rngs)
             outs = self._chunk_call(packed, memory, dmasks, state)
             mel_gate, align = outs[0], outs[1]
             new_state = tuple(outs[2:])

@@ -204,3 +204,52 @@ def test_fused_decode_batch_chunked_matches_single():
     np.testing.assert_allclose(
         np.asarray(q_chunked.mels_post), np.asarray(q_single.mels_post), atol=2e-5
     )
+
+
+def _first_fire(out, b):
+    """Per-row frame cut at the row's first gate<0 — the batch-invariant
+    bookkeeping the warm server uses (run/server.py::_synthesize_batch)."""
+    g = np.asarray(out.gates)[b, :, 0]
+    neg = g < 0.0
+    return int(neg.argmax()) if neg.any() else g.shape[0]
+
+
+@pytest.mark.parametrize("gate_bias", [3.0, 0.0])
+@pytest.mark.parametrize("fused", [False, True])
+def test_row_rngs_batch_invariant(gate_bias, fused):
+    """row_rngs contract (server dynamic batching): with independent
+    per-row PRNG streams, each batch row decodes identically to a
+    batch-of-1 run seeded with that row's key — batch composition cannot
+    change a request's audio. The PRNG mask streams are bit-identical by
+    construction; the numeric tolerance (1e-6 abs) only absorbs XLA's
+    batch-shape-dependent vectorization of row-independent math (measured
+    ≤7e-8 — a dropout-stream mismatch would be O(1)). Covers both the XLA
+    while_loop and the fused kernel (interpret), with AlwaysDropout ACTIVE
+    (the hard case: the per-row (1, P) mask draws must match the
+    scalar-rng chain exactly)."""
+    model, params, state, chars, lens = _setup(gate_bias=gate_bias)
+    keys = jnp.stack([jax.random.PRNGKey(11), jax.random.PRNGKey(22)])
+
+    def run(c, l, rr):
+        kw = {"interpret": True} if fused else {}
+        fn = model.forward_infer_fused if fused else model.forward_infer
+        return fn(params, state, c, l, 40, rng=rr[0], row_rngs=rr,
+                  prenet_dropout=True, **kw)
+
+    batched = run(chars, lens, keys)
+    for b in range(2):
+        single = run(chars[b : b + 1], lens[b : b + 1], keys[b : b + 1])
+        cb, cs = _first_fire(batched, b), _first_fire(single, 0)
+        assert cb == cs, f"row {b}: first gate fire moved {cs} -> {cb} in batch"
+        cut = max(min(cb, int(single.n_frames) - 1), 1)
+        np.testing.assert_allclose(
+            np.asarray(batched.mels_post)[b, :cut],
+            np.asarray(single.mels_post)[0, :cut],
+            atol=1e-6, rtol=0,
+            err_msg=f"row {b} mel changed under batching",
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched.alignments)[b, :cut],
+            np.asarray(single.alignments)[0, :cut],
+            atol=1e-6, rtol=0,
+        )

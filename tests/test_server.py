@@ -180,3 +180,159 @@ def test_server_warm_fused_int8_packs_once(tiny_server_setup, tmp_path, monkeypa
                 assert f.read(4) == b"RIFF"
 
     asyncio.run(run())
+
+
+def test_server_dynamic_batching(tiny_server_setup, tmp_path, monkeypatch):
+    """Warm-mode dynamic batching: concurrent /generate requests coalesce
+    into ONE decode launch (BATCH_CALLS telemetry), and each request's wav
+    matches what the same request produces alone — per-row PRNG streams
+    make audio independent of batch composition (fp-noise tolerance; the
+    kernel-level contract is test_fused_decoder.py::
+    test_row_rngs_batch_invariant)."""
+    import asyncio
+    import copy
+
+    monkeypatch.chdir(tmp_path)
+    server_config = copy.deepcopy(tiny_server_setup)
+    # generous window so the gathered posts reliably land in one batch on
+    # a loaded CI host; singles afterwards still run alone (queue empty)
+    server_config["batching"] = {"window_ms": 500, "max_batch": 8}
+
+    async def run():
+        from aiohttp import ClientTimeout
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from run import server as srv
+        from tacotron2_tpu.audio.io import read_wav
+
+        app = srv.make_app(server_config, mode="warm")
+        async with TestClient(
+            TestServer(app), timeout=ClientTimeout(total=1200)
+        ) as client:
+            # warm: load the model + compile the batch-of-1 program
+            r = await client.post(
+                "/generate", json={"text": "warm up", "model": 0, "seed": 1}
+            )
+            assert r.status == 200
+
+            texts = [("first request here", 5), ("a second one", 6),
+                     ("and the third", 7)]
+            calls0, rows0 = srv.BATCH_CALLS
+            rs = await asyncio.gather(*[
+                client.post("/generate",
+                            json={"text": t, "model": 0, "seed": s})
+                for t, s in texts
+            ])
+            batched_paths = []
+            for r in rs:
+                assert r.status == 200
+                batched_paths.append((await r.json())["path"])
+            assert srv.BATCH_CALLS[1] - rows0 == 3
+            assert srv.BATCH_CALLS[0] - calls0 == 1, "requests did not coalesce"
+
+            # same requests, each alone -> audio unchanged
+            for (t, s), bp in zip(texts, batched_paths):
+                r = await client.post(
+                    "/generate", json={"text": t, "model": 0, "seed": s}
+                )
+                sp = (await r.json())["path"]
+                wav_b, _ = read_wav(bp)
+                wav_s, _ = read_wav(sp)
+                assert wav_b.shape == wav_s.shape
+                np.testing.assert_allclose(wav_b, wav_s, atol=1e-3, rtol=0)
+
+    asyncio.run(run())
+
+
+def test_server_batched_vocoder(tmp_path, monkeypatch):
+    """Warm server with a HiFi-GAN entry: the micro-batch vocodes as ONE
+    batched call (mel padded to a shared 128-frame bucket, wav cut back to
+    cut*hop per row) and still yields RIFF wavs per request."""
+    import asyncio
+    import sys
+
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference")
+    from model.hifi_gan import Generator as TorchGenerator
+
+    h = {"resblock": "1", "upsample_rates": [8, 2], "upsample_kernel_sizes": [16, 4],
+         "upsample_initial_channel": 16, "resblock_kernel_sizes": [3],
+         "resblock_dilation_sizes": [[1, 3, 5]], "num_mels": 16}
+
+    class AttrDict(dict):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.__dict__ = self
+
+    torch.manual_seed(0)
+    gen = TorchGenerator(AttrDict(dict(h, num_mels=80)))
+    gen.conv_pre = torch.nn.utils.weight_norm(torch.nn.Conv1d(16, 16, 7, 1, padding=3))
+    hdir = tmp_path / "hifi"
+    hdir.mkdir()
+    torch.save({"generator": gen.state_dict()}, str(hdir / "g_00000001"))
+    with open(hdir / "config.json", "w") as f:
+        json.dump(h, f)
+
+    from run.common import build_model
+    from tacotron2_tpu.config import config_from_dict
+    from tacotron2_tpu.training.checkpoint import save_checkpoint
+
+    raw_cfg = {
+        "dataset": {"preprocessing": {"allowed_chars": LJ_CHARS, "end_token": "^",
+                                       "num_mels": 16, "trim": False, "cache": False}},
+        "training": {"lr": 1e-3, "batch_size": 2, "weight_decay": 0.0,
+                     "precision": "32-true", "name": "srv-voc",
+                     "args": {"max_steps": 1}},
+        "model": {"scheduler_milestones": [],
+                  "args": {"prenet_dim": 8, "att_rnn_dim": 16, "att_dim": 8,
+                           "rnn_hidden_dim": 16, "postnet_dim": 8, "dropout": 0.1,
+                           "encoded_dim": 16, "encoder_kernel_size": 5}},
+        "extensions": {"speaker_tokens": {"active": False}, "controls": {"active": False}},
+    }
+    cfg = config_from_dict(raw_cfg)
+    import jax as _jax
+
+    model = build_model(cfg)
+    params, state = model.init(_jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "m.ckpt")
+    save_checkpoint(ckpt, params, state, raw_cfg)
+    cfg_path = str(tmp_path / "config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(raw_cfg, f)
+
+    server_config = {
+        "models": [{"name": "voc", "config": cfg_path, "checkpoint": ckpt,
+                    "hifi_gan_checkpoint": str(hdir / "g_00000001"),
+                    "max_len": 12}],
+        "batching": {"window_ms": 400, "max_batch": 4},
+    }
+    monkeypatch.chdir(tmp_path)
+
+    async def run():
+        from aiohttp import ClientTimeout
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from run import server as srv
+
+        app = srv.make_app(server_config, mode="warm")
+        async with TestClient(
+            TestServer(app), timeout=ClientTimeout(total=1200)
+        ) as client:
+            r = await client.post(
+                "/generate", json={"text": "warm", "model": 0, "seed": 1}
+            )
+            assert r.status == 200
+            calls0 = srv.BATCH_CALLS[0]
+            rs = await asyncio.gather(*[
+                client.post("/generate",
+                            json={"text": t, "model": 0, "seed": i})
+                for i, t in enumerate(["one request", "two requests"])
+            ])
+            for r in rs:
+                assert r.status == 200
+                body = await r.json()
+                with open(body["path"], "rb") as f:
+                    assert f.read(4) == b"RIFF"
+            assert srv.BATCH_CALLS[0] - calls0 == 1
+
+    asyncio.run(run())
