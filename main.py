@@ -28,6 +28,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 @click.option("--device", type=int, required=False, default=0,
               help="The accelerator index to use for training or inference. Default 0.")
 def main(ctx: Context, config: str, device: int):
+    import jax
+
+    # Honor JAX_PLATFORMS even though this environment's sitecustomize
+    # imports jax at interpreter start and pins jax.config.jax_platforms
+    # (the explicit config wins over the env var at backend init, so a
+    # child process spawned with JAX_PLATFORMS=cpu — e.g. the
+    # subprocess-mode server's per-request `main.py say`, or the CPU test
+    # suite — would silently initialize the TPU tunnel instead). Backend
+    # init is lazy, so re-applying the env var here is still in time.
+    env_plat = os.environ.get("JAX_PLATFORMS", "")
+    cfg_plat = str(jax.config.jax_platforms or "")
+    if env_plat and cfg_plat and env_plat.split(",")[0] != cfg_plat.split(",")[0]:
+        jax.config.update("jax_platforms", env_plat)
+
     # Persistent XLA compilation cache: a cold flagship `say` pays ~5 min
     # of (tunnel-)compile; with the cache a fresh process reloads the same
     # executables in ~20 s (measured 322 s -> 21 s on v5e/axon). Set
@@ -37,8 +51,6 @@ def main(ctx: Context, config: str, device: int):
         os.path.expanduser("~/.cache/tacotron2_tpu/jax"),
     )
     if cache_dir:
-        import jax
-
         if jax.config.jax_compilation_cache_dir is None:  # respect overrides
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
