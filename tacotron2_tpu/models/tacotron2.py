@@ -102,7 +102,15 @@ class Tacotron2:
     # ------------------------------------------------------------------
     def init(self, key) -> Tuple[dict, dict]:
         """Initialize (params, state). Param-tree names mirror the reference
-        module tree for checkpoint-conversion fidelity."""
+        module tree for checkpoint-conversion fidelity.
+
+        Jitted: eager init dispatches hundreds of small random ops one by
+        one (~6-15 s even for a tiny model on a 1-core host); as ONE
+        compiled executable it lands in the persistent compile cache.
+        Identical values — jit does not change threefry outputs."""
+        return jax.jit(self._init_impl)(key)
+
+    def _init_impl(self, key) -> Tuple[dict, dict]:
         cfg = self.cfg
         keys = jax.random.split(key, 8)
         enc_params, enc_state = encoder_mod.init(

@@ -24,6 +24,12 @@ os.environ.setdefault("JAX_CPU_COLLECTIVES_IMPLEMENTATION", "gloo")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# share the suite's persistent compile cache (tests/conftest.py): the two
+# workers' cold train-step compiles dominate the test's ~3 min otherwise
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def main():

@@ -149,8 +149,13 @@ def test_style_loss_step_composition(tmp_path):
         "gate": np.ones((B, T, 1), np.float32),
     }
 
-    base_step = build_train_step(model, tx)
-    style_step = build_train_step(model, tx, prosody=(predictor, p_params, "mse"))
+    # jit: build_train_step returns the PURE step — running it eagerly
+    # executes the full fwd+bwd+optimizer graph op-by-op (~45 s on this
+    # 1-core host); jitted it compiles once into the persistent cache
+    base_step = jax.jit(build_train_step(model, tx))
+    style_step = jax.jit(
+        build_train_step(model, tx, prosody=(predictor, p_params, "mse"))
+    )
 
     key = jax.random.PRNGKey(3)
     _, m_base = base_step(ts, batch, key)
