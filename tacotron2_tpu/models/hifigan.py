@@ -263,7 +263,7 @@ class HiFiGAN:
         return x
 
     def apply(self, params, mel: jnp.ndarray, fold: bool = False,
-              mrf_poly=False, mrf_pallas="auto",
+              mrf_poly=False, mrf_pallas="auto", fuse_ups=False,
               interpret: bool = False) -> jnp.ndarray:
         """mel (B, T, num_mels) -> wav (B, T * total_upsample).
 
@@ -293,7 +293,13 @@ class HiFiGAN:
         per-stage sequence; takes precedence over mrf_poly. Default
         "auto": all stages fused on accelerator backends, plain XLA convs
         on CPU (Mosaic compiles TPU-only; CPU tests pass interpret=True
-        explicitly)."""
+        explicitly).
+
+        ``fuse_ups``: additionally fuse each stage's lrelu -> transposed
+        conv INTO its Pallas MRF kernel where the folded layouts align
+        (upsample_fusable: the u=2 late stages of UNIVERSAL_V1) — the
+        convT output then never round-trips HBM. Only takes effect for
+        stages already on the mrf_pallas path."""
         cfg, pol = self.cfg, self.policy
         if mrf_pallas == "auto":
             mrf_pallas = interpret or jax.default_backend() != "cpu"
@@ -311,25 +317,40 @@ class HiFiGAN:
         x = layers.conv1d_apply(params["conv_pre"], mel, pol, padding=3)
         ch = cfg.upsample_initial_channel
         for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
-            x = jax.nn.leaky_relu(x, LRELU_SLOPE)
-            x = layers.conv_transpose1d_apply(params["ups"][i], x, stride=u, padding=(k - u) // 2, policy=pol)
-            ch //= 2
-            L = x.shape[1]
-            if pallas_stages[i] and all(kk % 2 == 1 for kk in cfg.resblock_kernel_sizes):
-                from tacotron2_tpu.ops.mrf_pallas import mrf_stage_pallas
+            odd = all(kk % 2 == 1 for kk in cfg.resblock_kernel_sizes)
+            if pallas_stages[i] and odd:
+                from tacotron2_tpu.ops.mrf_pallas import (
+                    mrf_stage_pallas, upsample_fusable,
+                )
 
                 rbs = [
                     params["resblocks"][i * num_kernels + j]
                     for j in range(num_kernels)
                 ]
-                x = mrf_stage_pallas(
-                    rbs, x, resblock=cfg.resblock,
+                common = dict(
+                    resblock=cfg.resblock,
                     kernels=cfg.resblock_kernel_sizes,
                     dilations=cfg.resblock_dilation_sizes,
                     bf16=(pol.compute_dtype == jnp.bfloat16),
                     interpret=interpret,
                 )
+                if fuse_ups and upsample_fusable(u, ch, ch // 2):
+                    x = mrf_stage_pallas(
+                        rbs, x, upsample=(params["ups"][i], u), **common
+                    )
+                else:
+                    x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+                    x = layers.conv_transpose1d_apply(
+                        params["ups"][i], x, stride=u,
+                        padding=(k - u) // 2, policy=pol,
+                    )
+                    x = mrf_stage_pallas(rbs, x, **common)
+                ch //= 2
                 continue
+            x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            x = layers.conv_transpose1d_apply(params["ups"][i], x, stride=u, padding=(k - u) // 2, policy=pol)
+            ch //= 2
+            L = x.shape[1]
             poly = poly_stages[i] and all(
                 kk % 2 == 1 for kk in cfg.resblock_kernel_sizes
             )

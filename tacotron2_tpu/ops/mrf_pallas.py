@@ -99,6 +99,48 @@ def fold_weight(w: jnp.ndarray, k: int, d: int, s: int) -> jnp.ndarray:
     return wt.reshape(m * C, s * C)
 
 
+def upsample_taps(k: int, u: int, s: int, s_in: int):
+    """Tap plan for a FUSED transposed conv on the folded layouts.
+
+    ConvT semantics (layers.conv_transpose1d_apply, stride u, padding
+    pad=(k-u)//2, verified index algebra): out[P] = b + sum over m with
+    (P+pad-m) % u == 0 of w[m] . x[(P+pad-m)/u]. On the s-folded OUTPUT
+    layout with s = u*s_in (the u | s stages), output lane block j has a
+    FIXED phase, and the input position q = s_in*R + e with R the output
+    folded row and e = (j+pad-m)/u — so each (j, m) pair reads input
+    folded row R + floor(e/s_in), lane block e mod s_in: a plain
+    block-select, same shape as the dense-conv taps.
+
+    Returns (taps, assign): taps = ordered distinct (row_shift, ji)
+    blocks; assign = list of (j, m, tap_index)."""
+    pad = (k - u) // 2
+    taps: list = []
+    assign = []
+    for j in range(s):
+        for m in range(k):
+            if (j + pad - m) % u:
+                continue
+            e = (j + pad - m) // u
+            key = (e // s_in, e % s_in)
+            if key not in taps:
+                taps.append(key)
+            assign.append((j, m, taps.index(key)))
+    return taps, assign
+
+
+def fold_upsample_weight(w: jnp.ndarray, b: jnp.ndarray, u: int, s: int,
+                         s_in: int):
+    """(k, Cin, C) convT weight -> ((n_taps*Cin, s*C), (s*C,)) for the
+    fused tap matmul (see upsample_taps)."""
+    k, Cin, C = w.shape
+    taps, assign = upsample_taps(k, u, s, s_in)
+    S = np.zeros((len(taps), s, k), np.float32)
+    for j, m, t in assign:
+        S[t, j, m] = 1.0
+    wt = jnp.einsum("tjm,mio->tijo", jnp.asarray(S), w)
+    return wt.reshape(len(taps) * Cin, s * C), jnp.tile(b, s)
+
+
 def _stage_convs(resblock: str, kernels, dilations):
     """Flat (k, d) list for one stage, resblock-major, matching the
     sequential compute order inside the kernel."""
@@ -168,6 +210,54 @@ def _build_taps(t, k: int, d: int, s: int, C: int):
     return jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
 
 
+def _mrf_chain(x, mask, wcat_ref, bcat_ref, convs, kernels, dilations,
+               resblock: str, row_offs, C: int, s: int, Tt: int, H: int,
+               dot_dtype):
+    """The shared in-kernel MRF chain: mean over resblocks of
+    resblock_k(x) on the (Te, s*C) extended tile; returns the (Tt, s*C)
+    center slice."""
+    f32 = jnp.float32
+
+    def conv(t, ci):
+        k, d = convs[ci]
+        taps = _build_taps(t, k, d, s, C)
+        m = taps.shape[1] // C
+        w = wcat_ref[row_offs[ci] : row_offs[ci] + m * C, :]
+        y = jax.lax.dot_general(
+            taps.astype(dot_dtype), w.astype(dot_dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+        return (y + bcat_ref[ci : ci + 1, :]) * mask
+
+    acc = None
+    ci = 0
+    for rk, (kr, dil) in enumerate(zip(kernels, dilations)):
+        z = x
+        for d in dil:
+            t = jnp.where(z > 0, z, LRELU_SLOPE * z)
+            t = conv(t, ci)
+            ci += 1
+            if resblock == "1":
+                t = jnp.where(t > 0, t, LRELU_SLOPE * t)
+                t = conv(t, ci)
+                ci += 1
+            z = z + t
+        zc = z[H : H + Tt]
+        acc = zc if acc is None else acc + zc
+    return acc * (1.0 / len(kernels))
+
+
+def _boundary_mask(g, Tt: int, H: int, s: int, C: int, L: int):
+    """(Te, s*C) 0/1 mask for unfolded pos in [0, L): unfolded pos of
+    (row r, lane l) = s*(g*Tt - H + r) + l//C — the same zeros the
+    reference's per-conv SAME padding supplies."""
+    Te, sC = Tt + 2 * H, s * C
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Te, sC), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (Te, sC), 1)
+    pos = s * (g * Tt - H + rows) + lanes // C
+    return ((pos >= 0) & (pos < L)).astype(jnp.float32)
+
+
 def _make_stage_kernel(resblock: str, kernels, dilations, C: int, s: int,
                        Tt: int, H: int, L: int, n_resblocks: int,
                        row_offs, dot_dtype):
@@ -176,50 +266,60 @@ def _make_stage_kernel(resblock: str, kernels, dilations, C: int, s: int,
     row_offs: per-conv row offsets into the packed resident weight block.
     L: valid unfolded length (static) — drives the boundary mask."""
     convs = _stage_convs(resblock, kernels, dilations)
-    Te = Tt + 2 * H
-    sC = s * C
-    f32 = jnp.float32
 
     def kernel(xprev_ref, xcur_ref, xnext_ref, wcat_ref, bcat_ref, out_ref):
         g = pl.program_id(0)
         x = jnp.concatenate(
             [xprev_ref[Tt - H :], xcur_ref[...], xnext_ref[:H]], axis=0
         )  # (Te, sC) f32, folded rows [g*Tt - H, (g+1)*Tt + H)
-        # boundary mask: unfolded pos of (row r, lane l) = s*(g*Tt - H + r)
-        # + l//C; every conv output is re-zeroed outside [0, L) — the same
-        # zeros the reference's per-conv SAME padding supplies
-        rows = jax.lax.broadcasted_iota(jnp.int32, (Te, sC), 0)
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (Te, sC), 1)
-        pos = s * (g * Tt - H + rows) + lanes // C
-        mask = ((pos >= 0) & (pos < L)).astype(f32)
+        mask = _boundary_mask(g, Tt, H, s, C, L)
+        out_ref[...] = _mrf_chain(
+            x, mask, wcat_ref, bcat_ref, convs, kernels, dilations,
+            resblock, row_offs, C, s, Tt, H, dot_dtype,
+        )
 
-        def conv(t, ci):
-            k, d = convs[ci]
-            taps = _build_taps(t, k, d, s, C)
-            m = taps.shape[1] // C
-            w = wcat_ref[row_offs[ci] : row_offs[ci] + m * C, :]
-            y = jax.lax.dot_general(
-                taps.astype(dot_dtype), w.astype(dot_dtype),
-                (((1,), (0,)), ((), ())), preferred_element_type=f32,
-            )
-            return (y + bcat_ref[ci : ci + 1, :]) * mask
+    return kernel
 
-        acc = None
-        ci = 0
-        for rk, (kr, dil) in enumerate(zip(kernels, dilations)):
-            z = x
-            for d in dil:
-                t = jnp.where(z > 0, z, LRELU_SLOPE * z)
-                t = conv(t, ci)
-                ci += 1
-                if resblock == "1":
-                    t = jnp.where(t > 0, t, LRELU_SLOPE * t)
-                    t = conv(t, ci)
-                    ci += 1
-                z = z + t
-            zc = z[H : H + Tt]
-            acc = zc if acc is None else acc + zc
-        out_ref[...] = acc * (1.0 / n_resblocks)
+
+def _make_stage_kernel_ups(resblock: str, kernels, dilations, C: int, s: int,
+                           Tt: int, H: int, L: int, row_offs, dot_dtype,
+                           u: int, Cin: int, s_in: int, tap_list):
+    """Stage kernel with the upsample transposed conv FUSED in front
+    (lrelu -> convT -> MRF, the whole per-stage pipeline of
+    model/hifi_gan.py:196-202 as ONE kernel). Requires u * s_in == s
+    (output and input folded layouts row-align 1:1 — true for the u=2
+    late stages of UNIVERSAL_V1, which is where the channel-starved MXU
+    makes fusion matter). The convT is one tap-matrix dot against a
+    launch-resident folded weight (upsample_taps/fold_upsample_weight);
+    its output never touches HBM."""
+    convs = _stage_convs(resblock, kernels, dilations)
+    Hi = H + 8  # input halo: MRF reach + convT row shifts (|delta| <= 2)
+    Te = Tt + 2 * H
+    f32 = jnp.float32
+
+    def kernel(xprev_ref, xcur_ref, xnext_ref, wcat_ref, bcat_ref,
+               wups_ref, bups_ref, out_ref):
+        g = pl.program_id(0)
+        xi = jnp.concatenate(
+            [xprev_ref[Tt - Hi :], xcur_ref[...], xnext_ref[:Hi]], axis=0
+        )  # (Tt + 2*Hi, s_in*Cin), input folded rows [g*Tt - Hi, ...)
+        xi = jnp.where(xi > 0, xi, LRELU_SLOPE * xi)  # pre-convT lrelu
+        pieces = []
+        for delta, ji in tap_list:
+            sh = _row_shift(xi, (Hi - H) + delta)[:Te]
+            pieces.append(sh[:, ji * Cin : (ji + 1) * Cin])
+        taps = jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
+        mask = _boundary_mask(g, Tt, H, s, C, L)
+        nt = len(tap_list) * Cin
+        z = jax.lax.dot_general(
+            taps.astype(dot_dtype), wups_ref[:nt, :].astype(dot_dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+        z = (z + bups_ref[0:1, :]) * mask
+        out_ref[...] = _mrf_chain(
+            z, mask, wcat_ref, bcat_ref, convs, kernels, dilations,
+            resblock, row_offs, C, s, Tt, H, dot_dtype,
+        )
 
     return kernel
 
@@ -294,6 +394,86 @@ def _mrf_stage_call(wcat, bcat, x, *, resblock, kernels, dilations, L, C,
     return jax.vmap(one)(x4pad)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "resblock", "kernels", "dilations", "Lin", "C", "Cin", "u", "ku",
+        "interpret", "bf16",
+    ),
+)
+def _mrf_stage_ups_call(wcat, bcat, wups, bups, xin, *, resblock, kernels,
+                        dilations, Lin, C, Cin, u, ku, interpret, bf16):
+    """Fused lrelu -> convT(stride u, kernel ku) -> MRF stage. xin
+    (B, Lin, Cin) is the PRE-upsample activation; output (B, u*Lin, C).
+    Requires u * (128/Cin) == 128/C (1:1 folded row alignment)."""
+    L = u * Lin
+    s = 128 // C
+    s_in = 128 // Cin
+    reach = stage_reach(resblock, kernels, dilations)
+    H = _round_up(-(-reach // s), 8)
+    T4 = -(-L // s)
+    Tt = min(1024, max(_round_up(T4, 8), H + 8))
+    tiles = -(-T4 // Tt)
+    T4p = tiles * Tt
+
+    B = xin.shape[0]
+    # input folded rows align 1:1 with output folded rows (u*s_in == s)
+    xinp = jnp.pad(xin, ((0, 0), (0, T4p * s_in - Lin), (0, 0)))
+    xi4 = xinp.reshape(B, T4p, s_in * Cin)
+    xi4pad = jnp.pad(xi4, ((0, 0), (Tt, Tt), (0, 0)))
+
+    n_convs = len(_stage_convs(resblock, kernels, dilations))
+    row_offs = []
+    r = 0
+    for k, d in _stage_convs(resblock, kernels, dilations):
+        row_offs.append(r)
+        r += len(conv_offsets(k, d, s)) * C
+    R8 = _round_up(r, 8)
+    wcat = jnp.pad(wcat, ((0, R8 - r), (0, 0)))
+    n8 = _round_up(n_convs, 8)
+    bcat = jnp.pad(bcat, ((0, n8 - n_convs), (0, 0)))
+
+    tap_list, _ = upsample_taps(ku, u, s, s_in)
+    ru = len(tap_list) * Cin
+    R8u = _round_up(ru, 8)
+    wups = jnp.pad(wups, ((0, R8u - ru), (0, 0)))
+    bups2 = jnp.zeros((8, s * C), bups.dtype).at[0].set(bups)
+
+    kernel = _make_stage_kernel_ups(
+        resblock, kernels, dilations, C, s, Tt, H, L, tuple(row_offs),
+        jnp.bfloat16 if bf16 else jnp.float32, u, Cin, s_in, tuple(tap_list),
+    )
+    sC = s * C
+    grid_spec = pl.GridSpec(
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((Tt, s_in * Cin), lambda g: (g, 0)),
+            pl.BlockSpec((Tt, s_in * Cin), lambda g: (g + 1, 0)),
+            pl.BlockSpec((Tt, s_in * Cin), lambda g: (g + 2, 0)),
+            pl.BlockSpec((R8, sC), lambda g: (0, 0)),
+            pl.BlockSpec((n8, sC), lambda g: (0, 0)),
+            pl.BlockSpec((R8u, sC), lambda g: (0, 0)),
+            pl.BlockSpec((8, sC), lambda g: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Tt, sC), lambda g: (g, 0)),
+    )
+
+    def one(x1):
+        with jax.default_matmul_precision("default"):
+            y = pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((T4p, sC), jnp.float32),
+                interpret=interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=int(100 * 1024 * 1024),
+                ),
+            )(x1, x1, x1, wcat, bcat, wups, bups2)
+        return y.reshape(T4p * s, C)[:L]
+
+    return jax.vmap(one)(xi4pad)
+
+
 def pack_stage_weights(rb_params: Sequence[dict], resblock: str, kernels,
                        dilations, C: int):
     """Fold one stage's resblock conv weights into the kernel's resident
@@ -315,11 +495,32 @@ def pack_stage_weights(rb_params: Sequence[dict], resblock: str, kernels,
 
 def mrf_stage_pallas(rb_params: Sequence[dict], x: jnp.ndarray, *,
                      resblock: str, kernels, dilations, bf16: bool = True,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False, upsample=None) -> jnp.ndarray:
     """Fused MRF stage: mean over resblocks of resblock_k(x).
 
     x (B, L, C) f32 -> (B, L, C) f32. Exact vs the base conv path up to
-    dot rounding (bf16=False on CPU matches to f32 rounding)."""
+    dot rounding (bf16=False on CPU matches to f32 rounding).
+
+    ``upsample=(ups_params, u)``: x is the PRE-upsample activation
+    (B, Lin, Cin) and the stage's lrelu -> ConvTranspose1d(stride u) is
+    fused in front of the MRF (model/hifi_gan.py:196-202 as one kernel).
+    Requires u * (128/Cin) == 128/C; use upsample_fusable() to test."""
+    if upsample is not None:
+        ups, u = upsample
+        B, Lin, Cin = x.shape
+        ku = ups["w"].shape[0]
+        C = ups["w"].shape[2]
+        s, s_in = 128 // C, 128 // Cin
+        wcat, bcat = pack_stage_weights(rb_params, resblock, kernels,
+                                        dilations, C)
+        wups, bups = fold_upsample_weight(ups["w"], ups["b"], u, s, s_in)
+        return _mrf_stage_ups_call(
+            wcat, bcat, wups, bups, x,
+            resblock=resblock, kernels=tuple(kernels),
+            dilations=tuple(tuple(d) for d in dilations),
+            Lin=Lin, C=C, Cin=Cin, u=u, ku=ku,
+            interpret=interpret, bf16=bf16,
+        )
     B, L, C = x.shape
     wcat, bcat = pack_stage_weights(rb_params, resblock, kernels, dilations, C)
     return _mrf_stage_call(
@@ -327,4 +528,13 @@ def mrf_stage_pallas(rb_params: Sequence[dict], x: jnp.ndarray, *,
         resblock=resblock, kernels=tuple(kernels),
         dilations=tuple(tuple(d) for d in dilations),
         L=L, C=C, interpret=interpret, bf16=bf16,
+    )
+
+
+def upsample_fusable(u: int, Cin: int, C: int) -> bool:
+    """True when the stage's convT can fuse into its MRF kernel: both
+    folded layouts exist and align 1:1 (u * s_in == s)."""
+    return (
+        C < 128 and 128 % C == 0 and 128 % Cin == 0
+        and u * (128 // Cin) == 128 // C
     )

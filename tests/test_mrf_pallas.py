@@ -68,3 +68,39 @@ def test_hifigan_apply_mrf_pallas_matches_base():
     a = np.asarray(m.apply(p, mel))
     b = np.asarray(m.apply(p, mel, mrf_pallas=True, interpret=True))
     np.testing.assert_allclose(b, a, atol=1e-5 * max(np.abs(a).max(), 1e-3))
+
+
+def test_hifigan_apply_fuse_ups_matches_base():
+    """fuse_ups: the stage's lrelu -> transposed conv fused INTO the MRF
+    kernel (u=2 stages where the folded layouts align 1:1) must match
+    both the unfused-Pallas and the base conv paths exactly. Covers a
+    mixed stack (first stage u=4 NOT fusable -> XLA convT + fused MRF),
+    batch > 1, a length that doesn't divide the fold units, and both
+    resblock types."""
+    rng = np.random.default_rng(2)
+    m = HiFiGAN(HiFiGANConfig(
+        upsample_rates=(4, 2, 2), upsample_kernel_sizes=(8, 4, 4),
+        upsample_initial_channel=256, num_mels=16),
+        Policy.from_string("32-true"))
+    p = jax.tree.map(lambda a: a * 3.0, m.init(jax.random.PRNGKey(0)))
+    mel = jnp.asarray(rng.standard_normal((2, 13, 16)).astype(np.float32))
+    base = np.asarray(m.apply(p, mel))
+    unfused = np.asarray(m.apply(p, mel, mrf_pallas=True, interpret=True))
+    fused = np.asarray(
+        m.apply(p, mel, mrf_pallas=True, fuse_ups=True, interpret=True))
+    tol = 1e-5 * max(np.abs(base).max(), 1e-3)
+    np.testing.assert_allclose(fused, unfused, atol=tol)
+    np.testing.assert_allclose(fused, base, atol=tol)
+
+    m2 = HiFiGAN(HiFiGANConfig(
+        resblock="2", upsample_rates=(2, 2), upsample_kernel_sizes=(4, 4),
+        upsample_initial_channel=128, num_mels=16,
+        resblock_kernel_sizes=(3, 5), resblock_dilation_sizes=((1, 3), (1, 3))),
+        Policy.from_string("32-true"))
+    p2 = jax.tree.map(lambda a: a * 3.0, m2.init(jax.random.PRNGKey(1)))
+    mel2 = jnp.asarray(rng.standard_normal((1, 9, 16)).astype(np.float32))
+    a2 = np.asarray(m2.apply(p2, mel2, mrf_pallas=True, interpret=True))
+    b2 = np.asarray(
+        m2.apply(p2, mel2, mrf_pallas=True, fuse_ups=True, interpret=True))
+    np.testing.assert_allclose(
+        b2, a2, atol=1e-5 * max(np.abs(a2).max(), 1e-3))
