@@ -54,7 +54,29 @@ def _timed(comp, args, iters):
     return ts[len(ts) // 2]
 
 
+def _require_backend(timeout_s: float):
+    """Fail fast (one JSON error line, exit 1) when the TPU tunnel is
+    down: backend init then HANGS indefinitely (observed: bare
+    jax.devices() never returns during an axon outage), which would leave
+    the driver's bench run stuck with no record at all."""
+    import threading
+
+    devs = []
+    t = threading.Thread(target=lambda: devs.append(jax.devices()), daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not devs:
+        print(json.dumps({
+            "metric": "mel_frames_per_sec_per_chip", "value": 0.0,
+            "unit": "frames/s", "vs_baseline": 0.0,
+            "error": f"TPU backend init exceeded {timeout_s:.0f}s "
+                     "(tunnel down?) — no measurement",
+        }))
+        sys.exit(1)
+
+
 def main():
+    _require_backend(float(os.environ.get("BENCH_INIT_TIMEOUT", "900")))
     batch = int(os.environ.get("BENCH_BATCH", "1"))  # say path is batch-1
     chars_len = int(os.environ.get("BENCH_CHARS", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
