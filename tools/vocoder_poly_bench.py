@@ -35,6 +35,8 @@ VARIANTS = {
     # must DISABLE it explicitly — dict() would A/B pallas against itself
     "base": dict(mrf_pallas=False),
     "pallas_all": dict(mrf_pallas=True),
+    # r4b: upsample convT fused INTO the late-stage kernels (u=2 stages)
+    "fuse_ups": dict(mrf_pallas=True, fuse_ups=True),
     "pallas_late2": dict(mrf_pallas=(False, False, True, True)),
     "pallas_s1": dict(mrf_pallas=(True, False, False, False)),
     "pallas_s2": dict(mrf_pallas=(False, True, False, False)),
