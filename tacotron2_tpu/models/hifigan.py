@@ -76,7 +76,15 @@ class HiFiGAN:
     # ------------------------------------------------------------------
     def init(self, key) -> dict:
         """Random init (the reference re-inits convs N(0, 0.01),
-        model/hifi_gan.py:10-13,187)."""
+        model/hifi_gan.py:10-13,187). Jitted for the same reason as
+        Tacotron2.init: one cacheable executable instead of ~100 eager
+        random-op dispatches. Values match the eager path to 1 ulp (XLA
+        fuses the ``normal(k) * 0.01`` scale under jit; threefry bits
+        themselves are identical) — fine for a random init whose
+        production role is the checkpoint-conversion skeleton."""
+        return jax.jit(self._init_impl)(key)
+
+    def _init_impl(self, key) -> dict:
         cfg = self.cfg
         n_ups = len(cfg.upsample_rates)
         n_k = len(cfg.resblock_kernel_sizes)
