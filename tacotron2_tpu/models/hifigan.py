@@ -342,7 +342,13 @@ class HiFiGAN:
                     bf16=(pol.compute_dtype == jnp.bfloat16),
                     interpret=interpret,
                 )
-                if fuse_ups and upsample_fusable(u, ch, ch // 2):
+                from tacotron2_tpu.ops.mrf_pallas import (
+                    upsample_fusable_expand,
+                )
+                if fuse_ups and (
+                    upsample_fusable(u, ch, ch // 2)
+                    or upsample_fusable_expand(u, ch, ch // 2)
+                ):
                     x = mrf_stage_pallas(
                         rbs, x, upsample=(params["ups"][i], u), **common
                     )

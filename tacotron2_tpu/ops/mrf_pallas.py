@@ -281,6 +281,65 @@ def _make_stage_kernel(resblock: str, kernels, dilations, C: int, s: int,
     return kernel
 
 
+def _make_stage_kernel_ups_expand(resblock: str, kernels, dilations, C: int,
+                                  Tt: int, H: int, L: int, row_offs,
+                                  dot_dtype, u: int, Cin: int, Ti: int,
+                                  Hi: int, tap_deltas):
+    """Stage kernel with the upsample convT fused for the u > s stages
+    (s == 1: C >= 128 — stages 1/2 of UNIVERSAL_V1, u = 8).
+
+    The convT lands naturally in a u-folded (input-row, u*C) layout (one
+    tap matmul; tap plan = upsample_taps(ku, u, s=u, s_in=1)). The MRF
+    needs the UNFOLDED (Te, C) layout, and Mosaic has no row-expanding
+    reshape — so the kernel row-repeats via a 0/1 iota matmul (the fused
+    decode's kron(I, ones) trick, ops/decoder_loop_pallas.py) and
+    phase-selects lanes with u static row masks. Both are O(u*C) per
+    output row — noise next to the stage's MRF FLOPs."""
+    convs = _stage_convs(resblock, kernels, dilations)
+    Te = Tt + 2 * H
+    Tei = Ti + 2 * Hi
+    f32 = jnp.float32
+    assert H % u == 0 and Tt % u == 0
+
+    def kernel(xprev_ref, xcur_ref, xnext_ref, wcat_ref, bcat_ref,
+               wups_ref, bups_ref, out_ref):
+        g = pl.program_id(0)
+        xi = jnp.concatenate(
+            [xprev_ref[Ti - Hi :], xcur_ref[...], xnext_ref[:Hi]], axis=0
+        )  # (Tei, Cin), input rows [g*Ti - Hi, (g+1)*Ti + Hi)
+        xi = jnp.where(xi > 0, xi, LRELU_SLOPE * xi)  # pre-convT lrelu
+        pieces = [_row_shift(xi, d) for d in tap_deltas]
+        taps = jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
+        nt = len(tap_deltas) * Cin
+        z4 = jax.lax.dot_general(
+            taps.astype(dot_dtype), wups_ref[:nt, :].astype(dot_dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        ) + bups_ref[0:1, :]  # (Tei, u*C): row q, lane block r = phase
+        # row-repeat z4 into output rows: R[re] = z4[re//u + (Hi - H//u)]
+        off = Hi - H // u
+        re_i = jax.lax.broadcasted_iota(jnp.int32, (Te, Tei), 0)
+        q_i = jax.lax.broadcasted_iota(jnp.int32, (Te, Tei), 1)
+        E = (q_i == re_i // u + off).astype(f32)
+        with jax.default_matmul_precision("default"):
+            R = jax.lax.dot_general(
+                E, z4, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            )  # (Te, u*C)
+        # phase lane-select: out row re takes lane block re % u (static
+        # pattern — the tile base g*Tt - H is a multiple of u)
+        rphase = jax.lax.broadcasted_iota(jnp.int32, (Te, C), 0) % u
+        z = jnp.zeros((Te, C), f32)
+        for r in range(u):
+            z = z + jnp.where(rphase == r, R[:, r * C : (r + 1) * C], 0.0)
+        mask = _boundary_mask(g, Tt, H, 1, C, L)
+        z = z * mask
+        out_ref[...] = _mrf_chain(
+            z, mask, wcat_ref, bcat_ref, convs, kernels, dilations,
+            resblock, row_offs, C, 1, Tt, H, dot_dtype,
+        )
+
+    return kernel
+
+
 def _make_stage_kernel_ups(resblock: str, kernels, dilations, C: int, s: int,
                            Tt: int, H: int, L: int, row_offs, dot_dtype,
                            u: int, Cin: int, s_in: int, tap_list):
@@ -474,6 +533,87 @@ def _mrf_stage_ups_call(wcat, bcat, wups, bups, xin, *, resblock, kernels,
     return jax.vmap(one)(xi4pad)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "resblock", "kernels", "dilations", "Lin", "C", "Cin", "u", "ku",
+        "interpret", "bf16",
+    ),
+)
+def _mrf_stage_ups_expand_call(wcat, bcat, wups, bups, xin, *, resblock,
+                               kernels, dilations, Lin, C, Cin, u, ku,
+                               interpret, bf16):
+    """Fused lrelu -> convT(stride u) -> MRF for the u > s stages (s == 1,
+    C >= 128). xin (B, Lin, Cin) -> (B, u*Lin, C)."""
+    L = u * Lin
+    reach = stage_reach(resblock, kernels, dilations)
+    H = _round_up(reach, 8)
+    # floor H + 8u keeps the input tile Ti = Tt/u >= its halo Hi = H/u + 8;
+    # u must divide Tt and H (row-phase arithmetic) — u is a power of two
+    # <= 8 (guarded by upsample_fusable_expand) and both terms are
+    # 8-aligned, so 8 | Tt implies u | Tt
+    Tt = min(1024, max(_round_up(L, 8), H + 8 * u))
+    tiles = -(-L // Tt)
+    T4p = tiles * Tt
+
+    B = xin.shape[0]
+    Ti = Tt // u
+    xinp = jnp.pad(xin, ((0, 0), (0, T4p // u - Lin), (0, 0)))
+    xi4pad = jnp.pad(xinp, ((0, 0), (Ti, Ti), (0, 0)))
+    Hi = H // u + 8
+
+    n_convs = len(_stage_convs(resblock, kernels, dilations))
+    row_offs = []
+    r = 0
+    for k, d in _stage_convs(resblock, kernels, dilations):
+        row_offs.append(r)
+        r += len(conv_offsets(k, d, 1)) * C
+    R8 = _round_up(r, 8)
+    wcat = jnp.pad(wcat, ((0, R8 - r), (0, 0)))
+    n8 = _round_up(n_convs, 8)
+    bcat = jnp.pad(bcat, ((0, n8 - n_convs), (0, 0)))
+
+    tap_list, _ = upsample_taps(ku, u, u, 1)
+    tap_deltas = tuple(d for d, _ in tap_list)
+    ru = len(tap_list) * Cin
+    R8u = _round_up(ru, 8)
+    wups = jnp.pad(wups, ((0, R8u - ru), (0, 0)))
+    bups2 = jnp.zeros((8, u * C), bups.dtype).at[0].set(bups)
+
+    kernel = _make_stage_kernel_ups_expand(
+        resblock, kernels, dilations, C, Tt, H, L, tuple(row_offs),
+        jnp.bfloat16 if bf16 else jnp.float32, u, Cin, Ti, Hi, tap_deltas,
+    )
+    grid_spec = pl.GridSpec(
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((Ti, Cin), lambda g: (g, 0)),
+            pl.BlockSpec((Ti, Cin), lambda g: (g + 1, 0)),
+            pl.BlockSpec((Ti, Cin), lambda g: (g + 2, 0)),
+            pl.BlockSpec((R8, C), lambda g: (0, 0)),
+            pl.BlockSpec((n8, C), lambda g: (0, 0)),
+            pl.BlockSpec((R8u, u * C), lambda g: (0, 0)),
+            pl.BlockSpec((8, u * C), lambda g: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Tt, C), lambda g: (g, 0)),
+    )
+
+    def one(x1):
+        with jax.default_matmul_precision("default"):
+            y = pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((T4p, C), jnp.float32),
+                interpret=interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=int(100 * 1024 * 1024),
+                ),
+            )(x1, x1, x1, wcat, bcat, wups, bups2)
+        return y[:L]
+
+    return jax.vmap(one)(xi4pad)
+
+
 def pack_stage_weights(rb_params: Sequence[dict], resblock: str, kernels,
                        dilations, C: int):
     """Fold one stage's resblock conv weights into the kernel's resident
@@ -510,16 +650,25 @@ def mrf_stage_pallas(rb_params: Sequence[dict], x: jnp.ndarray, *,
         B, Lin, Cin = x.shape
         ku = ups["w"].shape[0]
         C = ups["w"].shape[2]
-        s, s_in = 128 // C, 128 // Cin
-        wcat, bcat = pack_stage_weights(rb_params, resblock, kernels,
-                                        dilations, C)
-        wups, bups = fold_upsample_weight(ups["w"], ups["b"], u, s, s_in)
-        return _mrf_stage_ups_call(
-            wcat, bcat, wups, bups, x,
+        common = dict(
             resblock=resblock, kernels=tuple(kernels),
             dilations=tuple(tuple(d) for d in dilations),
             Lin=Lin, C=C, Cin=Cin, u=u, ku=ku,
             interpret=interpret, bf16=bf16,
+        )
+        wcat, bcat = pack_stage_weights(rb_params, resblock, kernels,
+                                        dilations, C)
+        if upsample_fusable(u, Cin, C):
+            s, s_in = 128 // C, 128 // Cin
+            wups, bups = fold_upsample_weight(ups["w"], ups["b"], u, s, s_in)
+            return _mrf_stage_ups_call(wcat, bcat, wups, bups, x, **common)
+        if upsample_fusable_expand(u, Cin, C):
+            wups, bups = fold_upsample_weight(ups["w"], ups["b"], u, u, 1)
+            return _mrf_stage_ups_expand_call(
+                wcat, bcat, wups, bups, x, **common
+            )
+        raise ValueError(
+            f"upsample fusion unsupported for u={u}, Cin={Cin}, C={C}"
         )
     B, L, C = x.shape
     wcat, bcat = pack_stage_weights(rb_params, resblock, kernels, dilations, C)
@@ -532,9 +681,19 @@ def mrf_stage_pallas(rb_params: Sequence[dict], x: jnp.ndarray, *,
 
 
 def upsample_fusable(u: int, Cin: int, C: int) -> bool:
-    """True when the stage's convT can fuse into its MRF kernel: both
-    folded layouts exist and align 1:1 (u * s_in == s)."""
+    """True when the stage's convT can fuse into its MRF kernel with the
+    ALIGNED layout: both folded layouts exist and align 1:1
+    (u * s_in == s — the u=2 late stages)."""
     return (
         C < 128 and 128 % C == 0 and 128 % Cin == 0
         and u * (128 // Cin) == 128 // C
     )
+
+
+def upsample_fusable_expand(u: int, Cin: int, C: int) -> bool:
+    """True when the stage's convT can fuse via the row-EXPAND path: the
+    MRF runs unfolded (s == 1, C >= 128) and u is a power of two <= 8 so
+    the row-phase arithmetic divides the 8-aligned tile sizes (the u=8
+    early stages)."""
+    s = 128 // C if (C < 128 and 128 % C == 0) else 1
+    return s == 1 and u in (2, 4, 8)

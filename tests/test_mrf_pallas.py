@@ -70,11 +70,33 @@ def test_hifigan_apply_mrf_pallas_matches_base():
     np.testing.assert_allclose(b, a, atol=1e-5 * max(np.abs(a).max(), 1e-3))
 
 
+def test_hifigan_apply_fuse_ups_universal_all_stages():
+    """fuse_ups on the full UNIVERSAL_V1 shape class (u=(8,8,2,2)): the
+    u=8 early stages fuse via the row-EXPAND path (convT in u-folded
+    layout + kron row-repeat + phase lane-select) and the u=2 late
+    stages via the ALIGNED path — every stage's upsample runs inside its
+    MRF kernel. Exact vs the unfused-Pallas path, single- and
+    multi-tile."""
+    rng = np.random.default_rng(3)
+    m = HiFiGAN(HiFiGANConfig(
+        upsample_rates=(8, 8, 2, 2), upsample_kernel_sizes=(16, 16, 4, 4),
+        upsample_initial_channel=512, num_mels=16),
+        Policy.from_string("32-true"))
+    p = jax.tree.map(lambda a: a * 3.0, m.init(jax.random.PRNGKey(0)))
+    for T in (7, 40):  # stage-2 (expand) and stage-3/4 (aligned) multi-tile at 40
+        mel = jnp.asarray(rng.standard_normal((2, T, 16)).astype(np.float32))
+        a = np.asarray(m.apply(p, mel, mrf_pallas=True, interpret=True))
+        b = np.asarray(
+            m.apply(p, mel, mrf_pallas=True, fuse_ups=True, interpret=True))
+        np.testing.assert_allclose(
+            b, a, atol=1e-5 * max(np.abs(a).max(), 1e-3))
+
+
 def test_hifigan_apply_fuse_ups_matches_base():
     """fuse_ups: the stage's lrelu -> transposed conv fused INTO the MRF
     kernel (u=2 stages where the folded layouts align 1:1) must match
     both the unfused-Pallas and the base conv paths exactly. Covers a
-    mixed stack (first stage u=4 NOT fusable -> XLA convT + fused MRF),
+    mixed stack (first stage u=4: fuses via the expand path at C=128),
     batch > 1, a length that doesn't divide the fold units, and both
     resblock types."""
     rng = np.random.default_rng(2)
