@@ -93,6 +93,27 @@ class ModelRegistry:
         return bundle
 
 
+def _validate_request(cfg, req: Dict[str, Any]) -> None:
+    """Per-request validation BEFORE batching, so a request's outcome
+    never depends on what else shares its window (reference parity:
+    Tacotron2._check_controls requires a vector iff controls are active
+    — co-batching must not silently zero-fill a missing one, and one
+    ragged vector must not fail the whole batch)."""
+    dim = cfg.controls_dim
+    controls = req.get("controls")
+    if dim and controls is None:
+        raise ValueError(
+            f"model has controls enabled: a {dim}-dim 'controls' vector is "
+            "required (the UI's neutral position is all zeros)"
+        )
+    if dim and len(controls) != dim:
+        raise ValueError(
+            f"'controls' must have {dim} entries, got {len(controls)}"
+        )
+    if not dim and controls:
+        raise ValueError("model has controls disabled, but 'controls' passed")
+
+
 def _synthesize_batch(bundle, reqs: List[Dict[str, Any]]) -> List[str]:
     """Synthesize a micro-batch of requests in ONE decode launch.
 
@@ -105,8 +126,12 @@ def _synthesize_batch(bundle, reqs: List[Dict[str, Any]]) -> List[str]:
     fp noise (≤7e-8 CPU / ≤5e-5 real-TPU flagship over 64 frames;
     tests/test_fused_decoder.py::test_row_rngs_batch_invariant,
     server-level tests/test_server.py::test_server_dynamic_batching).
-    Chars pad to a shared 128 bucket so request lengths reuse one
-    compiled program."""
+    Chars pad to a shared 128 bucket and the batch pads to a power-of-two
+    row bucket (row 0 replicated — rows are kernel-independent, the
+    replicas are discarded), so at most ~7 decode programs per model ever
+    compile instead of one per distinct concurrent-request count (a cold
+    flagship compile through the tunnel is minutes; it would stall that
+    batch). Requests must arrive pre-validated (_validate_request)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -129,23 +154,34 @@ def _synthesize_batch(bundle, reqs: List[Dict[str, Any]]) -> List[str]:
     B, L = chars.shape
     Lb = max(128, -(-L // 128) * 128)
     chars = np.pad(chars, ((0, 0), (0, Lb - L)))
+    # pad the batch to a power-of-two row bucket by replicating row 0
+    Bb = 1
+    while Bb < B:
+        Bb *= 2
+    def _bucket(a):
+        return np.concatenate([a, np.repeat(a[:1], Bb - B, axis=0)], axis=0) \
+            if Bb > B else a
+    chars = _bucket(chars)
+    lens = _bucket(np.asarray(lens))
     kwargs = {}
     if cfg.extensions.speaker_tokens.active:
-        kwargs["speaker_id"] = jnp.asarray(
-            [r.get("speaker_id") or 0 for r in reqs], jnp.int32
-        )
-    if cfg.extensions.controls.active and any(
-        r.get("controls") is not None for r in reqs
-    ):
-        dim = max(len(r["controls"]) for r in reqs if r.get("controls") is not None)
-        kwargs["controls"] = jnp.asarray(
-            [r.get("controls") or [0.0] * dim for r in reqs], jnp.float32
-        )
+        kwargs["speaker_id"] = jnp.asarray(_bucket(np.asarray(
+            [r.get("speaker_id") or 0 for r in reqs], np.int32
+        )))
+    if cfg.extensions.controls.active:
+        # _validate_request guarantees every request carries a vector of
+        # the model's exact dim (reference parity: Tacotron2._check_controls
+        # rejects a missing vector — a request must not change semantics
+        # depending on what else shares its window)
+        kwargs["controls"] = jnp.asarray(_bucket(np.asarray(
+            [r["controls"] for r in reqs], np.float32
+        )))
     max_len = int(entry.get("max_len", 5000))  # frames cap (run/say.py:147)
-    row_keys = jnp.stack([
-        jax.random.PRNGKey(r["seed"] if r.get("seed") is not None else 0)
+    row_keys = jnp.asarray(_bucket(np.stack([
+        np.asarray(jax.random.PRNGKey(
+            r["seed"] if r.get("seed") is not None else 0))
         for r in reqs
-    ])
+    ])))
     sig = (id(model), chars.shape, max_len, packed is not None,
            tuple(sorted(kwargs)))
     fn = _DECODE_JIT.get(sig)
@@ -180,20 +216,30 @@ def _synthesize_batch(bundle, reqs: List[Dict[str, Any]]) -> List[str]:
         bool(r.get("use_vocoder", True)) and hifigan is not None for r in reqs
     ]
     # HiFi-GAN rows vocode as ONE batched call with the mel length padded
-    # to a 128-frame bucket: request lengths reuse one compiled program
-    # (a fresh length would otherwise compile a fresh vocoder executable)
-    # and the rows fill the MXU together. The wav is cut back to the
-    # row's exact cut*hop samples; only the tail receptive field sees the
-    # zero-padded frames — the same boundary condition the conv's own
-    # 'same' padding applies at an unpadded clip end.
+    # to a 128-frame bucket (plus the generator's mel-domain receptive
+    # field) and the row count to a power of two: request lengths and
+    # counts reuse a handful of compiled programs and the rows fill the
+    # MXU together. The RF margin guarantees no KEPT sample's receptive
+    # field reaches the bucket's SAME-padding boundary, so a row's wav is
+    # bit-identical across bucket sizes (without it, a cut within RF of
+    # its solo bucket produced a tail that depended on which longer
+    # requests shared the window).
     wavs: Dict[int, Any] = {}
     rows = [b for b in range(len(reqs)) if use_voc[b]]
     if rows:
-        Tb = -(-max(cuts[b] for b in rows) // 128) * 128
+        margin = hifigan.mel_receptive_field()
+        Tb = -(-(max(cuts[b] for b in rows) + margin) // 128) * 128
         stack = np.stack([
             np.pad(mels_post[b, : cuts[b]], ((0, Tb - cuts[b]), (0, 0)))
             for b in rows
         ])
+        nb = 1
+        while nb < len(rows):
+            nb *= 2
+        if nb > len(rows):  # zero-mel dummy rows, discarded below
+            stack = np.concatenate(
+                [stack, np.zeros((nb - len(rows),) + stack.shape[1:],
+                                 stack.dtype)], axis=0)
         from run.common import jitted_vocoder
 
         batch_wav = np.asarray(jitted_vocoder(hifigan)(hifi_params, stack))
@@ -258,13 +304,26 @@ class MicroBatcher:
                     batch.append(await asyncio.wait_for(q.get(), timeout))
                 except asyncio.TimeoutError:
                     break
-            bundle = self.registry.load(model_idx)
-            reqs = [r for r, _ in batch]
             try:
+                # load INSIDE the try: a bad checkpoint/config path must
+                # fail these requests with an error, not kill this worker
+                # task and hang every current and future request for the
+                # model (the queue would keep accepting with no consumer)
+                bundle = self.registry.load(model_idx)
+                good = []
+                for r, fut in batch:
+                    try:
+                        _validate_request(bundle[0], r)
+                        good.append((r, fut))
+                    except Exception as exc:  # reject THIS request only
+                        if not fut.done():
+                            fut.set_exception(exc)
+                if not good:
+                    continue
                 paths = await loop.run_in_executor(
-                    None, _synthesize_batch, bundle, reqs
+                    None, _synthesize_batch, bundle, [r for r, _ in good]
                 )
-                for (_, fut), p in zip(batch, paths):
+                for (_, fut), p in zip(good, paths):
                     if not fut.done():
                         fut.set_result(p)
             except Exception as exc:  # propagate to every waiter
@@ -335,6 +394,7 @@ def make_app(server_config: Dict[str, Any], mode: str = "warm") -> web.Applicati
                 await batcher.submit(model_idx, req)
             else:
                 bundle = registry.load(model_idx)
+                _validate_request(bundle[0], req)
                 loop = asyncio.get_event_loop()
                 await loop.run_in_executor(None, _synthesize_batch, bundle, [req])
         return web.json_response({"path": out_path})

@@ -116,6 +116,28 @@ class HiFiGAN:
         return params
 
     # ------------------------------------------------------------------
+    def mel_receptive_field(self) -> int:
+        """One-sided receptive field of the whole generator in MEL frames
+        (conv_pre + every convT + every MRF stage + conv_post, each
+        stage's reach divided back to mel resolution). Used by the
+        serving path to size the vocode bucket so no kept sample's
+        receptive field reaches the bucket's SAME-padding boundary."""
+        from tacotron2_tpu.ops.mrf_pallas import stage_reach
+
+        cfg = self.cfg
+        rf = 3.0  # conv_pre, k=7 SAME
+        cum = 1.0
+        reach = stage_reach(
+            cfg.resblock, cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes
+        )
+        for u, k in zip(cfg.upsample_rates, cfg.upsample_kernel_sizes):
+            rf += -(-k // u) / cum  # convT input reach, in mel frames
+            cum *= u
+            rf += reach / cum
+        rf += 3.0 / cum  # conv_post
+        return int(math.ceil(rf)) + 1
+
+    # ------------------------------------------------------------------
     @staticmethod
     def _fold_conv(params, k: int, d: int, C: int, s: int):
         """Rewrite a SAME-padded dilated conv (k, C, C) for the s-phase
@@ -322,15 +344,15 @@ class HiFiGAN:
             else [bool(mrf_pallas)] * n_stages
         )
 
+        from tacotron2_tpu.ops.mrf_pallas import (
+            mrf_stage_pallas, upsample_fusable, upsample_fusable_expand,
+        )
+
         x = layers.conv1d_apply(params["conv_pre"], mel, pol, padding=3)
         ch = cfg.upsample_initial_channel
+        odd = all(kk % 2 == 1 for kk in cfg.resblock_kernel_sizes)
         for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
-            odd = all(kk % 2 == 1 for kk in cfg.resblock_kernel_sizes)
             if pallas_stages[i] and odd:
-                from tacotron2_tpu.ops.mrf_pallas import (
-                    mrf_stage_pallas, upsample_fusable,
-                )
-
                 rbs = [
                     params["resblocks"][i * num_kernels + j]
                     for j in range(num_kernels)
@@ -342,12 +364,9 @@ class HiFiGAN:
                     bf16=(pol.compute_dtype == jnp.bfloat16),
                     interpret=interpret,
                 )
-                from tacotron2_tpu.ops.mrf_pallas import (
-                    upsample_fusable_expand,
-                )
                 if fuse_ups and (
-                    upsample_fusable(u, ch, ch // 2)
-                    or upsample_fusable_expand(u, ch, ch // 2)
+                    upsample_fusable(u, ch, ch // 2, k)
+                    or upsample_fusable_expand(u, ch, ch // 2, k)
                 ):
                     x = mrf_stage_pallas(
                         rbs, x, upsample=(params["ups"][i], u), **common
@@ -365,9 +384,7 @@ class HiFiGAN:
             x = layers.conv_transpose1d_apply(params["ups"][i], x, stride=u, padding=(k - u) // 2, policy=pol)
             ch //= 2
             L = x.shape[1]
-            poly = poly_stages[i] and all(
-                kk % 2 == 1 for kk in cfg.resblock_kernel_sizes
-            )
+            poly = poly_stages[i] and odd
             if poly:
                 B = x.shape[0]
                 s = 128 // ch if (ch < 128 and 128 % ch == 0) else 1

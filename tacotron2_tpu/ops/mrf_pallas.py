@@ -493,6 +493,15 @@ def _mrf_stage_ups_call(wcat, bcat, wups, bups, xin, *, resblock, kernels,
     bcat = jnp.pad(bcat, ((0, n8 - n_convs), (0, 0)))
 
     tap_list, _ = upsample_taps(ku, u, s, s_in)
+    if max(abs(d) for d, _ in tap_list) > 8:
+        # the kernel's input halo margin is Hi - H = 8 rows; a tap shift
+        # past it would silently read zero-fill (wrong audio near tile
+        # seams) — refuse loudly instead. Shipped configs (ku = 2u) use
+        # |delta| <= 2; this trips only for exotic ku >> u.
+        raise ValueError(
+            f"convT tap shifts {tap_list} exceed the fused kernel's "
+            f"8-row input halo margin (ku={ku}, u={u}, s={s}, s_in={s_in})"
+        )
     ru = len(tap_list) * Cin
     R8u = _round_up(ru, 8)
     wups = jnp.pad(wups, ((0, R8u - ru), (0, 0)))
@@ -575,6 +584,11 @@ def _mrf_stage_ups_expand_call(wcat, bcat, wups, bups, xin, *, resblock,
 
     tap_list, _ = upsample_taps(ku, u, u, 1)
     tap_deltas = tuple(d for d, _ in tap_list)
+    if max(abs(d) for d in tap_deltas) > 8:
+        raise ValueError(
+            f"convT tap shifts {tap_deltas} exceed the expand kernel's "
+            f"8-row input halo margin (ku={ku}, u={u})"
+        )
     ru = len(tap_list) * Cin
     R8u = _round_up(ru, 8)
     wups = jnp.pad(wups, ((0, R8u - ru), (0, 0)))
@@ -658,11 +672,11 @@ def mrf_stage_pallas(rb_params: Sequence[dict], x: jnp.ndarray, *,
         )
         wcat, bcat = pack_stage_weights(rb_params, resblock, kernels,
                                         dilations, C)
-        if upsample_fusable(u, Cin, C):
+        if upsample_fusable(u, Cin, C, ku):
             s, s_in = 128 // C, 128 // Cin
             wups, bups = fold_upsample_weight(ups["w"], ups["b"], u, s, s_in)
             return _mrf_stage_ups_call(wcat, bcat, wups, bups, x, **common)
-        if upsample_fusable_expand(u, Cin, C):
+        if upsample_fusable_expand(u, Cin, C, ku):
             wups, bups = fold_upsample_weight(ups["w"], ups["b"], u, u, 1)
             return _mrf_stage_ups_expand_call(
                 wcat, bcat, wups, bups, x, **common
@@ -680,20 +694,29 @@ def mrf_stage_pallas(rb_params: Sequence[dict], x: jnp.ndarray, *,
     )
 
 
-def upsample_fusable(u: int, Cin: int, C: int) -> bool:
+def _taps_fit_halo(ku: int, u: int, s: int, s_in: int) -> bool:
+    """The fused kernels give the input tile an 8-row halo margin for the
+    convT row shifts; shipped configs (ku = 2u) use |shift| <= 2."""
+    tap_list, _ = upsample_taps(ku, u, s, s_in)
+    return max(abs(d) for d, _ in tap_list) <= 8
+
+
+def upsample_fusable(u: int, Cin: int, C: int, ku: int) -> bool:
     """True when the stage's convT can fuse into its MRF kernel with the
     ALIGNED layout: both folded layouts exist and align 1:1
-    (u * s_in == s — the u=2 late stages)."""
+    (u * s_in == s — the u=2 late stages), and the tap shifts fit the
+    kernel's input halo margin."""
     return (
         C < 128 and 128 % C == 0 and 128 % Cin == 0
         and u * (128 // Cin) == 128 // C
+        and _taps_fit_halo(ku, u, 128 // C, 128 // Cin)
     )
 
 
-def upsample_fusable_expand(u: int, Cin: int, C: int) -> bool:
+def upsample_fusable_expand(u: int, Cin: int, C: int, ku: int) -> bool:
     """True when the stage's convT can fuse via the row-EXPAND path: the
-    MRF runs unfolded (s == 1, C >= 128) and u is a power of two <= 8 so
+    MRF runs unfolded (s == 1, C >= 128), u is a power of two <= 8 so
     the row-phase arithmetic divides the 8-aligned tile sizes (the u=8
-    early stages)."""
+    early stages), and the tap shifts fit the halo margin."""
     s = 128 // C if (C < 128 and 128 % C == 0) else 1
-    return s == 1 and u in (2, 4, 8)
+    return s == 1 and u in (2, 4, 8) and _taps_fit_halo(ku, u, u, 1)

@@ -336,3 +336,55 @@ def test_server_batched_vocoder(tmp_path, monkeypatch):
             assert srv.BATCH_CALLS[0] - calls0 == 1
 
     asyncio.run(run())
+
+
+def test_server_worker_survives_bad_model_and_validates_controls(
+        tiny_server_setup, tmp_path, monkeypatch):
+    """Two review-pinned behaviors: (1) a model entry whose checkpoint
+    path is broken fails THAT request with HTTP 500 — it must not kill
+    the micro-batch worker task and hang every later request for the
+    model; (2) on a controls-disabled model, a request that passes a
+    controls vector is rejected per-request (the solo path raised
+    already; co-batching must not change a request's semantics)."""
+    import asyncio
+    import copy
+
+    monkeypatch.chdir(tmp_path)
+    server_config = copy.deepcopy(tiny_server_setup)
+    server_config["models"].append({
+        "name": "broken", "config": server_config["models"][0]["config"],
+        "checkpoint": str(tmp_path / "nope.ckpt"),
+        "multi_speaker": False, "controllable": False, "num_voices": 1,
+    })
+
+    async def run():
+        from aiohttp import ClientTimeout
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from run import server as srv
+
+        app = srv.make_app(server_config, mode="warm")
+        async with TestClient(
+            TestServer(app), timeout=ClientTimeout(total=1200)
+        ) as client:
+            # (1) broken model: every request errors, none hangs
+            for _ in range(2):
+                r = await client.post(
+                    "/generate", json={"text": "x", "model": 1, "seed": 1}
+                )
+                assert r.status == 500
+            # (2) controls on a controls-disabled model: rejected, while
+            # a clean request sharing the server still succeeds
+            r_bad, r_good = await asyncio.gather(
+                client.post("/generate", json={
+                    "text": "bad", "model": 0, "seed": 2,
+                    "controls": [0.5, -0.5]}),
+                client.post("/generate", json={
+                    "text": "good", "model": 0, "seed": 3}),
+            )
+            assert r_bad.status == 500
+            assert r_good.status == 200
+            body = await r_good.json()
+            assert os.path.exists(body["path"])
+
+    asyncio.run(run())
