@@ -412,5 +412,27 @@ def make_app(server_config: Dict[str, Any], mode: str = "warm") -> web.Applicati
 
 
 def do_server(port: int, server_config: Optional[Dict[str, Any]] = None, mode: str = "warm"):
+    # fail fast when the accelerator backend can't initialize (observed:
+    # a TPU-tunnel outage makes jax.devices() hang indefinitely) — better
+    # a clear startup error than a server that accepts requests it can
+    # never serve. Same guard as bench.py; TACOTRON2_BACKEND_TIMEOUT=0
+    # disables.
+    timeout_s = float(os.environ.get("TACOTRON2_BACKEND_TIMEOUT", "900"))
+    if timeout_s > 0:
+        import threading
+
+        import jax
+
+        devs: List[Any] = []
+        t = threading.Thread(target=lambda: devs.append(jax.devices()),
+                             daemon=True)
+        t.start()
+        t.join(timeout_s)
+        if not devs:
+            raise RuntimeError(
+                f"accelerator backend init exceeded {timeout_s:.0f}s "
+                "(TPU tunnel down?) — refusing to start the server; set "
+                "TACOTRON2_BACKEND_TIMEOUT=0 to wait indefinitely"
+            )
     app = make_app(server_config or {}, mode=mode)
     web.run_app(app, port=port)
