@@ -112,6 +112,16 @@ def _validate_request(cfg, req: Dict[str, Any]) -> None:
         )
     if not dim and controls:
         raise ValueError("model has controls disabled, but 'controls' passed")
+    spk = cfg.extensions.speaker_tokens
+    sid = req.get("speaker_id")
+    if spk.active and sid is not None and not (0 <= int(sid) < spk.num_speakers):
+        # an out-of-range id would silently clamp to a wrong voice in the
+        # embedding gather — reject instead (run/say.py errors likewise)
+        raise ValueError(
+            f"speaker_id {sid} out of range [0, {spk.num_speakers})"
+        )
+    if not spk.active and sid not in (None, 0):
+        raise ValueError("model is single-speaker, but 'voice' passed")
 
 
 def _synthesize_batch(bundle, reqs: List[Dict[str, Any]]) -> List[str]:
