@@ -220,12 +220,16 @@ def _mrf_chain(x, mask, wcat_ref, bcat_ref, convs, kernels, dilations,
 
     def conv(t, ci):
         k, d = convs[ci]
-        taps = _build_taps(t, k, d, s, C)
+        # cast the TILE before building taps: the tap matrix is up to
+        # k*s/s times wider than the tile, and cast commutes with the
+        # slice/concat/zero-fill of _build_taps — same bf16 values, a
+        # fraction of the VPU cast work. The weight block arrives
+        # pre-cast (host side), so no per-conv weight cast either.
+        taps = _build_taps(t.astype(dot_dtype), k, d, s, C)
         m = taps.shape[1] // C
         w = wcat_ref[row_offs[ci] : row_offs[ci] + m * C, :]
         y = jax.lax.dot_general(
-            taps.astype(dot_dtype), w.astype(dot_dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            taps, w, (((1,), (0,)), ((), ())), preferred_element_type=f32,
         )
         return (y + bcat_ref[ci : ci + 1, :]) * mask
 
@@ -308,11 +312,12 @@ def _make_stage_kernel_ups_expand(resblock: str, kernels, dilations, C: int,
             [xprev_ref[Ti - Hi :], xcur_ref[...], xnext_ref[:Hi]], axis=0
         )  # (Tei, Cin), input rows [g*Ti - Hi, (g+1)*Ti + Hi)
         xi = jnp.where(xi > 0, xi, LRELU_SLOPE * xi)  # pre-convT lrelu
+        xi = xi.astype(dot_dtype)  # cast the tile once; taps are slices
         pieces = [_row_shift(xi, d) for d in tap_deltas]
         taps = jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
         nt = len(tap_deltas) * Cin
         z4 = jax.lax.dot_general(
-            taps.astype(dot_dtype), wups_ref[:nt, :].astype(dot_dtype),
+            taps, wups_ref[:nt, :],
             (((1,), (0,)), ((), ())), preferred_element_type=f32,
         ) + bups_ref[0:1, :]  # (Tei, u*C): row q, lane block r = phase
         # row-repeat z4 into output rows: R[re] = z4[re//u + (Hi - H//u)]
@@ -363,6 +368,7 @@ def _make_stage_kernel_ups(resblock: str, kernels, dilations, C: int, s: int,
             [xprev_ref[Tt - Hi :], xcur_ref[...], xnext_ref[:Hi]], axis=0
         )  # (Tt + 2*Hi, s_in*Cin), input folded rows [g*Tt - Hi, ...)
         xi = jnp.where(xi > 0, xi, LRELU_SLOPE * xi)  # pre-convT lrelu
+        xi = xi.astype(dot_dtype)  # cast the tile once; taps are slices
         pieces = []
         for delta, ji in tap_list:
             sh = _row_shift(xi, (Hi - H) + delta)[:Te]
@@ -371,7 +377,7 @@ def _make_stage_kernel_ups(resblock: str, kernels, dilations, C: int, s: int,
         mask = _boundary_mask(g, Tt, H, s, C, L)
         nt = len(tap_list) * Cin
         z = jax.lax.dot_general(
-            taps.astype(dot_dtype), wups_ref[:nt, :].astype(dot_dtype),
+            taps, wups_ref[:nt, :],
             (((1,), (0,)), ((), ())), preferred_element_type=f32,
         )
         z = (z + bups_ref[0:1, :]) * mask
@@ -415,8 +421,9 @@ def _mrf_stage_call(wcat, bcat, x, *, resblock, kernels, dilations, L, C,
     for k, d in _stage_convs(resblock, kernels, dilations):
         row_offs.append(r)
         r += len(conv_offsets(k, d, s)) * C
-    R8 = _round_up(r, 8)
-    wcat = jnp.pad(wcat, ((0, R8 - r), (0, 0)))
+    _dt = jnp.bfloat16 if bf16 else jnp.float32
+    R8 = _round_up(r, 16 if bf16 else 8)  # bf16 tiles want 16 sublanes
+    wcat = jnp.pad(wcat, ((0, R8 - r), (0, 0))).astype(_dt)
     n8 = _round_up(n_convs, 8)
     bcat = jnp.pad(bcat, ((0, n8 - n_convs), (0, 0)))
 
@@ -487,8 +494,9 @@ def _mrf_stage_ups_call(wcat, bcat, wups, bups, xin, *, resblock, kernels,
     for k, d in _stage_convs(resblock, kernels, dilations):
         row_offs.append(r)
         r += len(conv_offsets(k, d, s)) * C
-    R8 = _round_up(r, 8)
-    wcat = jnp.pad(wcat, ((0, R8 - r), (0, 0)))
+    _dt = jnp.bfloat16 if bf16 else jnp.float32
+    R8 = _round_up(r, 16 if bf16 else 8)  # bf16 tiles want 16 sublanes
+    wcat = jnp.pad(wcat, ((0, R8 - r), (0, 0))).astype(_dt)
     n8 = _round_up(n_convs, 8)
     bcat = jnp.pad(bcat, ((0, n8 - n_convs), (0, 0)))
 
@@ -503,8 +511,8 @@ def _mrf_stage_ups_call(wcat, bcat, wups, bups, xin, *, resblock, kernels,
             f"8-row input halo margin (ku={ku}, u={u}, s={s}, s_in={s_in})"
         )
     ru = len(tap_list) * Cin
-    R8u = _round_up(ru, 8)
-    wups = jnp.pad(wups, ((0, R8u - ru), (0, 0)))
+    R8u = _round_up(ru, 16 if bf16 else 8)
+    wups = jnp.pad(wups, ((0, R8u - ru), (0, 0))).astype(_dt)
     bups2 = jnp.zeros((8, s * C), bups.dtype).at[0].set(bups)
 
     kernel = _make_stage_kernel_ups(
@@ -577,8 +585,9 @@ def _mrf_stage_ups_expand_call(wcat, bcat, wups, bups, xin, *, resblock,
     for k, d in _stage_convs(resblock, kernels, dilations):
         row_offs.append(r)
         r += len(conv_offsets(k, d, 1)) * C
-    R8 = _round_up(r, 8)
-    wcat = jnp.pad(wcat, ((0, R8 - r), (0, 0)))
+    _dt = jnp.bfloat16 if bf16 else jnp.float32
+    R8 = _round_up(r, 16 if bf16 else 8)  # bf16 tiles want 16 sublanes
+    wcat = jnp.pad(wcat, ((0, R8 - r), (0, 0))).astype(_dt)
     n8 = _round_up(n_convs, 8)
     bcat = jnp.pad(bcat, ((0, n8 - n_convs), (0, 0)))
 
@@ -590,8 +599,8 @@ def _mrf_stage_ups_expand_call(wcat, bcat, wups, bups, xin, *, resblock,
             f"8-row input halo margin (ku={ku}, u={u})"
         )
     ru = len(tap_list) * Cin
-    R8u = _round_up(ru, 8)
-    wups = jnp.pad(wups, ((0, R8u - ru), (0, 0)))
+    R8u = _round_up(ru, 16 if bf16 else 8)
+    wups = jnp.pad(wups, ((0, R8u - ru), (0, 0))).astype(_dt)
     bups2 = jnp.zeros((8, u * C), bups.dtype).at[0].set(bups)
 
     kernel = _make_stage_kernel_ups_expand(
