@@ -388,3 +388,40 @@ def test_server_worker_survives_bad_model_and_validates_controls(
             assert os.path.exists(body["path"])
 
     asyncio.run(run())
+
+
+def test_vocode_bucket_invariance_and_rf():
+    """The serving path pads each row's mel to a 128-frame bucket sized
+    with the generator's mel-domain receptive field: with that margin, a
+    row's KEPT samples must be bit-identical whatever bucket the batch
+    landed on (no kept sample's RF reaches the SAME-padding boundary).
+    Also pins mel_receptive_field on the UNIVERSAL_V1 shape."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tacotron2_tpu.models.hifigan import HiFiGAN, HiFiGANConfig
+    from tacotron2_tpu.models.layers import Policy
+
+    m = HiFiGAN(HiFiGANConfig(
+        upsample_rates=(4, 2, 2), upsample_kernel_sizes=(8, 4, 4),
+        upsample_initial_channel=64, num_mels=8),
+        Policy.from_string("32-true"))
+    p = jax.tree.map(lambda a: a * 3.0, m.init(jax.random.PRNGKey(0)))
+    rf = m.mel_receptive_field()
+    assert 0 < rf < 128  # sane one-sided reach in mel frames
+
+    cut = 20
+    factor = m.cfg.total_upsample
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((cut, 8)).astype(np.float32)
+    wavs = []
+    for Tb in (-(-(cut + rf) // 128) * 128, 512):  # solo vs co-batched bucket
+        padded = np.pad(mel, ((0, Tb - cut), (0, 0)))
+        wav = np.asarray(m.apply(p, jnp.asarray(padded[None])))[0]
+        wavs.append(wav[: cut * factor])
+    np.testing.assert_array_equal(wavs[0], wavs[1])
+
+    # UNIVERSAL_V1 flagship shape: RF is a couple dozen mel frames
+    flagship = HiFiGAN(HiFiGANConfig())
+    assert 8 <= flagship.mel_receptive_field() <= 64
