@@ -294,6 +294,7 @@ class HiFiGAN:
 
     def apply(self, params, mel: jnp.ndarray, fold: bool = False,
               mrf_poly=False, mrf_pallas="auto", fuse_ups=False,
+              mrf_edge_mask: bool = False,
               interpret: bool = False) -> jnp.ndarray:
         """mel (B, T, num_mels) -> wav (B, T * total_upsample).
 
@@ -329,7 +330,12 @@ class HiFiGAN:
         conv INTO its Pallas MRF kernel where the folded layouts align
         (upsample_fusable: the u=2 late stages of UNIVERSAL_V1) — the
         convT output then never round-trips HBM. Only takes effect for
-        stages already on the mrf_pallas path."""
+        stages already on the mrf_pallas path.
+
+        ``mrf_edge_mask``: skip the per-conv boundary re-zeroing on
+        interior tiles of the Pallas MRF kernels (one lax.cond per tile;
+        exact, gated in tests/test_mrf_pallas.py). Opt-in pending
+        hardware measurement (~4% of kernel time projected)."""
         cfg, pol = self.cfg, self.policy
         if mrf_pallas == "auto":
             mrf_pallas = interpret or jax.default_backend() != "cpu"
@@ -363,6 +369,7 @@ class HiFiGAN:
                     dilations=cfg.resblock_dilation_sizes,
                     bf16=(pol.compute_dtype == jnp.bfloat16),
                     interpret=interpret,
+                    edge_mask=mrf_edge_mask,
                 )
                 if fuse_ups and (
                     upsample_fusable(u, ch, ch // 2, k)

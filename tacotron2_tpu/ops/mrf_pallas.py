@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -215,7 +215,10 @@ def _mrf_chain(x, mask, wcat_ref, bcat_ref, convs, kernels, dilations,
                dot_dtype):
     """The shared in-kernel MRF chain: mean over resblocks of
     resblock_k(x) on the (Te, s*C) extended tile; returns the (Tt, s*C)
-    center slice."""
+    center slice. ``mask=None`` skips the per-conv boundary re-zeroing —
+    exact for INTERIOR tiles, whose whole extended row range maps to
+    valid unfolded positions in [0, L) (see the edge_mask dispatch in the
+    kernel factories)."""
     f32 = jnp.float32
 
     def conv(t, ci):
@@ -231,7 +234,8 @@ def _mrf_chain(x, mask, wcat_ref, bcat_ref, convs, kernels, dilations,
         y = jax.lax.dot_general(
             taps, w, (((1,), (0,)), ((), ())), preferred_element_type=f32,
         )
-        return (y + bcat_ref[ci : ci + 1, :]) * mask
+        y = y + bcat_ref[ci : ci + 1, :]
+        return y if mask is None else y * mask
 
     acc = None
     ci = 0
@@ -262,9 +266,25 @@ def _boundary_mask(g, Tt: int, H: int, s: int, C: int, L: int):
     return ((pos >= 0) & (pos < L)).astype(jnp.float32)
 
 
+def _edge_dispatch(edge_mask: bool, g, mask, chain, Tt: int, H: int,
+                   s: int, L: int):
+    """``chain(mask)`` with the per-conv boundary re-zeroing skipped on
+    INTERIOR tiles (one ``lax.cond`` on a scalar tile-position predicate):
+    a tile is interior when its whole extended row range [g*Tt - H,
+    (g+1)*Tt + H) maps to unfolded positions inside [0, L) — the mask is
+    all ones there, so the ~18 (Te, sC) VPU mask multiplies per stage are
+    pure overhead (only the 2 boundary tiles of a production-length launch
+    need them). Both branches compile (~2x kernel body) — opt-in
+    (``edge_mask``) until measured on hardware."""
+    if not edge_mask:
+        return chain(mask)
+    interior = jnp.logical_and(g * Tt - H >= 0, s * ((g + 1) * Tt + H) <= L)
+    return jax.lax.cond(interior, lambda: chain(None), lambda: chain(mask))
+
+
 def _make_stage_kernel(resblock: str, kernels, dilations, C: int, s: int,
                        Tt: int, H: int, L: int, n_resblocks: int,
-                       row_offs, dot_dtype):
+                       row_offs, dot_dtype, edge_mask: bool = False):
     """Returns the Pallas kernel for one MRF stage.
 
     row_offs: per-conv row offsets into the packed resident weight block.
@@ -277,9 +297,13 @@ def _make_stage_kernel(resblock: str, kernels, dilations, C: int, s: int,
             [xprev_ref[Tt - H :], xcur_ref[...], xnext_ref[:H]], axis=0
         )  # (Te, sC) f32, folded rows [g*Tt - H, (g+1)*Tt + H)
         mask = _boundary_mask(g, Tt, H, s, C, L)
-        out_ref[...] = _mrf_chain(
-            x, mask, wcat_ref, bcat_ref, convs, kernels, dilations,
-            resblock, row_offs, C, s, Tt, H, dot_dtype,
+        out_ref[...] = _edge_dispatch(
+            edge_mask, g, mask,
+            lambda m: _mrf_chain(
+                x, m, wcat_ref, bcat_ref, convs, kernels, dilations,
+                resblock, row_offs, C, s, Tt, H, dot_dtype,
+            ),
+            Tt, H, s, L,
         )
 
     return kernel
@@ -288,7 +312,8 @@ def _make_stage_kernel(resblock: str, kernels, dilations, C: int, s: int,
 def _make_stage_kernel_ups_expand(resblock: str, kernels, dilations, C: int,
                                   Tt: int, H: int, L: int, row_offs,
                                   dot_dtype, u: int, Cin: int, Ti: int,
-                                  Hi: int, tap_deltas):
+                                  Hi: int, tap_deltas,
+                                  edge_mask: bool = False):
     """Stage kernel with the upsample convT fused for the u > s stages
     (s == 1: C >= 128 — stages 1/2 of UNIVERSAL_V1, u = 8).
 
@@ -336,10 +361,15 @@ def _make_stage_kernel_ups_expand(resblock: str, kernels, dilations, C: int,
         for r in range(u):
             z = z + jnp.where(rphase == r, R[:, r * C : (r + 1) * C], 0.0)
         mask = _boundary_mask(g, Tt, H, 1, C, L)
-        z = z * mask
-        out_ref[...] = _mrf_chain(
-            z, mask, wcat_ref, bcat_ref, convs, kernels, dilations,
-            resblock, row_offs, C, 1, Tt, H, dot_dtype,
+        z = z * mask  # prologue stays masked (1 of ~19 passes) — the
+        # cond below only skips the chain's per-conv re-zeroing
+        out_ref[...] = _edge_dispatch(
+            edge_mask, g, mask,
+            lambda m: _mrf_chain(
+                z, m, wcat_ref, bcat_ref, convs, kernels, dilations,
+                resblock, row_offs, C, 1, Tt, H, dot_dtype,
+            ),
+            Tt, H, 1, L,
         )
 
     return kernel
@@ -347,7 +377,8 @@ def _make_stage_kernel_ups_expand(resblock: str, kernels, dilations, C: int,
 
 def _make_stage_kernel_ups(resblock: str, kernels, dilations, C: int, s: int,
                            Tt: int, H: int, L: int, row_offs, dot_dtype,
-                           u: int, Cin: int, s_in: int, tap_list):
+                           u: int, Cin: int, s_in: int, tap_list,
+                           edge_mask: bool = False):
     """Stage kernel with the upsample transposed conv FUSED in front
     (lrelu -> convT -> MRF, the whole per-stage pipeline of
     model/hifi_gan.py:196-202 as ONE kernel). Requires u * s_in == s
@@ -380,10 +411,14 @@ def _make_stage_kernel_ups(resblock: str, kernels, dilations, C: int, s: int,
             taps, wups_ref[:nt, :],
             (((1,), (0,)), ((), ())), preferred_element_type=f32,
         )
-        z = (z + bups_ref[0:1, :]) * mask
-        out_ref[...] = _mrf_chain(
-            z, mask, wcat_ref, bcat_ref, convs, kernels, dilations,
-            resblock, row_offs, C, s, Tt, H, dot_dtype,
+        z = (z + bups_ref[0:1, :]) * mask  # prologue stays masked
+        out_ref[...] = _edge_dispatch(
+            edge_mask, g, mask,
+            lambda m: _mrf_chain(
+                z, m, wcat_ref, bcat_ref, convs, kernels, dilations,
+                resblock, row_offs, C, s, Tt, H, dot_dtype,
+            ),
+            Tt, H, s, L,
         )
 
     return kernel
@@ -396,17 +431,21 @@ def _make_stage_kernel_ups(resblock: str, kernels, dilations, C: int, s: int,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "resblock", "kernels", "dilations", "L", "C", "interpret", "bf16"
+        "resblock", "kernels", "dilations", "L", "C", "interpret", "bf16",
+        "edge_mask", "tile_rows",
     ),
 )
 def _mrf_stage_call(wcat, bcat, x, *, resblock, kernels, dilations, L, C,
-                    interpret, bf16):
+                    interpret, bf16, edge_mask=False, tile_rows=None):
     s = 128 // C if (C < 128 and 128 % C == 0) else 1
     sC = s * C
     reach = stage_reach(resblock, kernels, dilations)
     H = _round_up(-(-reach // s), 8)
     T4 = -(-L // s)
     Tt = min(1024, max(_round_up(T4, 8), H))
+    if tile_rows:  # test/tuning override (forces multi-tile grids)
+        assert tile_rows % 8 == 0 and tile_rows >= H
+        Tt = tile_rows
     tiles = -(-T4 // Tt)
     T4p = tiles * Tt
 
@@ -430,7 +469,7 @@ def _mrf_stage_call(wcat, bcat, x, *, resblock, kernels, dilations, L, C,
     kernel = _make_stage_kernel(
         resblock, kernels, dilations, C, s, Tt, H, L,
         len(kernels), tuple(row_offs),
-        jnp.bfloat16 if bf16 else jnp.float32,
+        jnp.bfloat16 if bf16 else jnp.float32, edge_mask=edge_mask,
     )
     grid_spec = pl.GridSpec(
         grid=(tiles,),
@@ -464,11 +503,12 @@ def _mrf_stage_call(wcat, bcat, x, *, resblock, kernels, dilations, L, C,
     jax.jit,
     static_argnames=(
         "resblock", "kernels", "dilations", "Lin", "C", "Cin", "u", "ku",
-        "interpret", "bf16",
+        "interpret", "bf16", "edge_mask", "tile_rows",
     ),
 )
 def _mrf_stage_ups_call(wcat, bcat, wups, bups, xin, *, resblock, kernels,
-                        dilations, Lin, C, Cin, u, ku, interpret, bf16):
+                        dilations, Lin, C, Cin, u, ku, interpret, bf16,
+                        edge_mask=False, tile_rows=None):
     """Fused lrelu -> convT(stride u, kernel ku) -> MRF stage. xin
     (B, Lin, Cin) is the PRE-upsample activation; output (B, u*Lin, C).
     Requires u * (128/Cin) == 128/C (1:1 folded row alignment)."""
@@ -479,6 +519,9 @@ def _mrf_stage_ups_call(wcat, bcat, wups, bups, xin, *, resblock, kernels,
     H = _round_up(-(-reach // s), 8)
     T4 = -(-L // s)
     Tt = min(1024, max(_round_up(T4, 8), H + 8))
+    if tile_rows:  # test/tuning override (forces multi-tile grids)
+        assert tile_rows % 8 == 0 and tile_rows >= H + 8
+        Tt = tile_rows
     tiles = -(-T4 // Tt)
     T4p = tiles * Tt
 
@@ -518,6 +561,7 @@ def _mrf_stage_ups_call(wcat, bcat, wups, bups, xin, *, resblock, kernels,
     kernel = _make_stage_kernel_ups(
         resblock, kernels, dilations, C, s, Tt, H, L, tuple(row_offs),
         jnp.bfloat16 if bf16 else jnp.float32, u, Cin, s_in, tuple(tap_list),
+        edge_mask=edge_mask,
     )
     sC = s * C
     grid_spec = pl.GridSpec(
@@ -554,12 +598,13 @@ def _mrf_stage_ups_call(wcat, bcat, wups, bups, xin, *, resblock, kernels,
     jax.jit,
     static_argnames=(
         "resblock", "kernels", "dilations", "Lin", "C", "Cin", "u", "ku",
-        "interpret", "bf16",
+        "interpret", "bf16", "edge_mask", "tile_rows",
     ),
 )
 def _mrf_stage_ups_expand_call(wcat, bcat, wups, bups, xin, *, resblock,
                                kernels, dilations, Lin, C, Cin, u, ku,
-                               interpret, bf16):
+                               interpret, bf16, edge_mask=False,
+                               tile_rows=None):
     """Fused lrelu -> convT(stride u) -> MRF for the u > s stages (s == 1,
     C >= 128). xin (B, Lin, Cin) -> (B, u*Lin, C)."""
     L = u * Lin
@@ -570,6 +615,9 @@ def _mrf_stage_ups_expand_call(wcat, bcat, wups, bups, xin, *, resblock,
     # <= 8 (guarded by upsample_fusable_expand) and both terms are
     # 8-aligned, so 8 | Tt implies u | Tt
     Tt = min(1024, max(_round_up(L, 8), H + 8 * u))
+    if tile_rows:  # test/tuning override (forces multi-tile grids)
+        assert tile_rows % 8 == 0 and tile_rows >= H + 8 * u
+        Tt = tile_rows
     tiles = -(-L // Tt)
     T4p = tiles * Tt
 
@@ -606,6 +654,7 @@ def _mrf_stage_ups_expand_call(wcat, bcat, wups, bups, xin, *, resblock,
     kernel = _make_stage_kernel_ups_expand(
         resblock, kernels, dilations, C, Tt, H, L, tuple(row_offs),
         jnp.bfloat16 if bf16 else jnp.float32, u, Cin, Ti, Hi, tap_deltas,
+        edge_mask=edge_mask,
     )
     grid_spec = pl.GridSpec(
         grid=(tiles,),
@@ -658,7 +707,9 @@ def pack_stage_weights(rb_params: Sequence[dict], resblock: str, kernels,
 
 def mrf_stage_pallas(rb_params: Sequence[dict], x: jnp.ndarray, *,
                      resblock: str, kernels, dilations, bf16: bool = True,
-                     interpret: bool = False, upsample=None) -> jnp.ndarray:
+                     interpret: bool = False, upsample=None,
+                     edge_mask: bool = False,
+                     tile_rows: Optional[int] = None) -> jnp.ndarray:
     """Fused MRF stage: mean over resblocks of resblock_k(x).
 
     x (B, L, C) f32 -> (B, L, C) f32. Exact vs the base conv path up to
@@ -667,7 +718,12 @@ def mrf_stage_pallas(rb_params: Sequence[dict], x: jnp.ndarray, *,
     ``upsample=(ups_params, u)``: x is the PRE-upsample activation
     (B, Lin, Cin) and the stage's lrelu -> ConvTranspose1d(stride u) is
     fused in front of the MRF (model/hifi_gan.py:196-202 as one kernel).
-    Requires u * (128/Cin) == 128/C; use upsample_fusable() to test."""
+    Requires u * (128/Cin) == 128/C; use upsample_fusable() to test.
+
+    ``edge_mask``: skip the per-conv boundary re-zeroing on interior
+    tiles via one lax.cond per tile (exact — gated in
+    tests/test_mrf_pallas.py; opt-in pending hardware measurement).
+    ``tile_rows``: override the time-tile size (test/tuning knob)."""
     if upsample is not None:
         ups, u = upsample
         B, Lin, Cin = x.shape
@@ -678,6 +734,7 @@ def mrf_stage_pallas(rb_params: Sequence[dict], x: jnp.ndarray, *,
             dilations=tuple(tuple(d) for d in dilations),
             Lin=Lin, C=C, Cin=Cin, u=u, ku=ku,
             interpret=interpret, bf16=bf16,
+            edge_mask=edge_mask, tile_rows=tile_rows,
         )
         wcat, bcat = pack_stage_weights(rb_params, resblock, kernels,
                                         dilations, C)
@@ -700,6 +757,7 @@ def mrf_stage_pallas(rb_params: Sequence[dict], x: jnp.ndarray, *,
         resblock=resblock, kernels=tuple(kernels),
         dilations=tuple(tuple(d) for d in dilations),
         L=L, C=C, interpret=interpret, bf16=bf16,
+        edge_mask=edge_mask, tile_rows=tile_rows,
     )
 
 

@@ -92,6 +92,67 @@ def test_hifigan_apply_fuse_ups_universal_all_stages():
             b, a, atol=1e-5 * max(np.abs(a).max(), 1e-3))
 
 
+def test_mrf_edge_mask_exact_multi_tile():
+    """edge_mask=True skips the per-conv boundary re-zeroing on INTERIOR
+    tiles via one lax.cond per tile; tile_rows forces multi-tile grids so
+    both branches execute (interior AND edge). Must be bit-exact vs the
+    always-masked path on all three kernel variants (base, aligned-ups,
+    expand-ups)."""
+    rng = np.random.default_rng(7)
+
+    # base kernel, full UNIVERSAL resblock structure at C=32 (s=4):
+    # tile_rows=24, L=500 -> 6 tiles, tiles 1..3 interior
+    kernels, dils = (3, 7, 11), ((1, 3, 5),) * 3
+    rbs = _rb_params(rng, "1", kernels, dils, 32)
+    x = jnp.asarray(rng.standard_normal((1, 500, 32)).astype(np.float32))
+    kw = dict(resblock="1", kernels=kernels, dilations=dils,
+              bf16=False, interpret=True, tile_rows=24)
+    ref = np.asarray(mrf_stage_pallas(rbs, x, **kw))
+    got = np.asarray(mrf_stage_pallas(rbs, x, edge_mask=True, **kw))
+    np.testing.assert_array_equal(got, ref)
+
+    # aligned-ups kernel (u=2, Cin=64 -> C=32): tile_rows=16, Lin=200 ->
+    # L=400, 7 tiles, tiles 1..4 interior
+    kernels2, dils2 = (3,), ((1, 3),)
+    rbs2 = _rb_params(rng, "2", kernels2, dils2, 32)
+    ups = {
+        "w": jnp.asarray(rng.standard_normal((4, 64, 32)).astype(np.float32) * 0.1),
+        "b": jnp.asarray(rng.standard_normal(32).astype(np.float32) * 0.1),
+    }
+    xin = jnp.asarray(rng.standard_normal((1, 200, 64)).astype(np.float32))
+    kw2 = dict(resblock="2", kernels=kernels2, dilations=dils2,
+               bf16=False, interpret=True, upsample=(ups, 2), tile_rows=16)
+    ref2 = np.asarray(mrf_stage_pallas(rbs2, xin, **kw2))
+    got2 = np.asarray(mrf_stage_pallas(rbs2, xin, edge_mask=True, **kw2))
+    np.testing.assert_array_equal(got2, ref2)
+
+    # expand-ups kernel (u=2, Cin=256 -> C=128, s=1): tile_rows=24,
+    # Lin=96 -> L=192, 8 tiles, tiles 1..6 interior
+    rbs3 = _rb_params(rng, "2", kernels2, dils2, 128)
+    ups3 = {
+        "w": jnp.asarray(rng.standard_normal((4, 256, 128)).astype(np.float32) * 0.05),
+        "b": jnp.asarray(rng.standard_normal(128).astype(np.float32) * 0.1),
+    }
+    xin3 = jnp.asarray(rng.standard_normal((1, 96, 256)).astype(np.float32))
+    kw3 = dict(resblock="2", kernels=kernels2, dilations=dils2,
+               bf16=False, interpret=True, upsample=(ups3, 2), tile_rows=24)
+    ref3 = np.asarray(mrf_stage_pallas(rbs3, xin3, **kw3))
+    got3 = np.asarray(mrf_stage_pallas(rbs3, xin3, edge_mask=True, **kw3))
+    np.testing.assert_array_equal(got3, ref3)
+
+    # generator-level knob plumbing (single-tile stages: edge branch)
+    m = HiFiGAN(HiFiGANConfig(
+        upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=128, num_mels=16),
+        Policy.from_string("32-true"))
+    p = jax.tree.map(lambda a: a * 3.0, m.init(jax.random.PRNGKey(0)))
+    mel = jnp.asarray(rng.standard_normal((1, 11, 16)).astype(np.float32))
+    a = np.asarray(m.apply(p, mel, mrf_pallas=True, interpret=True))
+    b = np.asarray(m.apply(p, mel, mrf_pallas=True, mrf_edge_mask=True,
+                           interpret=True))
+    np.testing.assert_array_equal(b, a)
+
+
 def test_hifigan_apply_fuse_ups_matches_base():
     """fuse_ups: the stage's lrelu -> transposed conv fused INTO the MRF
     kernel (u=2 stages where the folded layouts align 1:1) must match

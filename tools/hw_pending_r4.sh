@@ -17,6 +17,12 @@ timeout 1800 python bench.py 2>&1 | tee /tmp/hw_r4/1_bench.log
 timeout 3600 python tools/vocoder_poly_bench.py 512 2048 3 base,pallas_all,fuse_ups \
   2>&1 | tee /tmp/hw_r4/2_fuse_ups_ab.log
 
+# 2b) edge-mask variants (r4c) — SEPARATE invocation: the lax.cond doubles
+# the kernel body and may trip the Mosaic compile ceiling; a crash here
+# must not lose the step-2 data
+timeout 3600 python tools/vocoder_poly_bench.py 512 2048 3 pallas_edge,fuse_edge \
+  2>&1 | tee /tmp/hw_r4/2b_edge_mask.log
+
 # 3) serving micro-batch A/B (bucketing + RF margin landed since r4a)
 timeout 3600 python tools/server_bench.py 16 256 2 2>&1 | tee /tmp/hw_r4/3_server.log
 

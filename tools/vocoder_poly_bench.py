@@ -37,6 +37,11 @@ VARIANTS = {
     "pallas_all": dict(mrf_pallas=True),
     # r4b: upsample convT fused INTO the late-stage kernels (u=2 stages)
     "fuse_ups": dict(mrf_pallas=True, fuse_ups=True),
+    # r4c: per-conv boundary masks skipped on interior tiles (lax.cond;
+    # ~2x kernel body — may trip the Mosaic compile ceiling: run these
+    # AFTER the safe variants / in a separate invocation)
+    "pallas_edge": dict(mrf_pallas=True, mrf_edge_mask=True),
+    "fuse_edge": dict(mrf_pallas=True, fuse_ups=True, mrf_edge_mask=True),
     "pallas_late2": dict(mrf_pallas=(False, False, True, True)),
     "pallas_s1": dict(mrf_pallas=(True, False, False, False)),
     "pallas_s2": dict(mrf_pallas=(False, True, False, False)),
