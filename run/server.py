@@ -342,9 +342,39 @@ class MicroBatcher:
                         fut.set_exception(exc)
 
 
+def warmup_models(registry: ModelRegistry) -> None:
+    """Prime every registry model's serving path BEFORE the first request:
+    load the checkpoint, then synthesize one tiny utterance through
+    _synthesize_batch so the (batch-bucket 1, char-bucket 128) decode and
+    vocoder programs compile (or reload from the persistent cache) at
+    startup. A cold flagship compile through the TPU tunnel is minutes
+    (~21 s cache-warm, PERF.md) — without this the FIRST /generate
+    request pays it. Opt-in via the server config's ``"warmup": true``
+    (the reference has no equivalent; its per-request subprocess pays a
+    full process cold start every time, run/server.py:151-188)."""
+    import tempfile
+
+    for idx, entry in enumerate(registry.entries):
+        bundle = registry.load(idx)
+        cfg = bundle[0]
+        req: Dict[str, Any] = {
+            "text": "warmup.",
+            "seed": 0,
+            "out_path": path.join(tempfile.gettempdir(), f"t2t-warmup-{idx}.wav"),
+            "use_vocoder": True,
+        }
+        if cfg.controls_dim:
+            req["controls"] = [0.0] * cfg.controls_dim
+        if cfg.extensions.speaker_tokens.active:
+            req["speaker_id"] = 0
+        _synthesize_batch(bundle, [req])
+
+
 def make_app(server_config: Dict[str, Any], mode: str = "warm") -> web.Application:
     os.makedirs(GENERATED_DIR, exist_ok=True)
     registry = ModelRegistry(server_config.get("models", []), warm=(mode == "warm"))
+    if mode == "warm" and server_config.get("warmup"):
+        warmup_models(registry)
     bcfg = server_config.get("batching", {})
     batcher = MicroBatcher(
         registry,
@@ -400,13 +430,20 @@ def make_app(server_config: Dict[str, Any], mode: str = "warm") -> web.Applicati
                 "controls": controls, "out_path": out_path,
                 "use_vocoder": bool(data.get("use_vocoder", True)),
             }
-            if batcher is not None:
-                await batcher.submit(model_idx, req)
-            else:
-                bundle = registry.load(model_idx)
-                _validate_request(bundle[0], req)
-                loop = asyncio.get_event_loop()
-                await loop.run_in_executor(None, _synthesize_batch, bundle, [req])
+            try:
+                if batcher is not None:
+                    await batcher.submit(model_idx, req)
+                else:
+                    bundle = registry.load(model_idx)
+                    _validate_request(bundle[0], req)
+                    loop = asyncio.get_event_loop()
+                    await loop.run_in_executor(
+                        None, _synthesize_batch, bundle, [req]
+                    )
+            except ValueError as exc:
+                # request validation (controls dim, speaker range): the
+                # CLIENT's error — 400 with the message, not a 500 page
+                return web.json_response({"error": str(exc)}, status=400)
         return web.json_response({"path": out_path})
 
     app = web.Application()

@@ -305,6 +305,7 @@ def test_server_batched_vocoder(tmp_path, monkeypatch):
                     "hifi_gan_checkpoint": str(hdir / "g_00000001"),
                     "max_len": 12}],
         "batching": {"window_ms": 400, "max_batch": 4},
+        "warmup": True,
     }
     monkeypatch.chdir(tmp_path)
 
@@ -314,7 +315,12 @@ def test_server_batched_vocoder(tmp_path, monkeypatch):
 
         from run import server as srv
 
+        calls_pre = srv.BATCH_CALLS[0]
         app = srv.make_app(server_config, mode="warm")
+        # "warmup": true primed the model at startup (one synth through
+        # the full serving path — decode + vocoder programs compiled
+        # before the first request)
+        assert srv.BATCH_CALLS[0] == calls_pre + 1
         async with TestClient(
             TestServer(app), timeout=ClientTimeout(total=1200)
         ) as client:
@@ -344,8 +350,9 @@ def test_server_worker_survives_bad_model_and_validates_controls(
     path is broken fails THAT request with HTTP 500 — it must not kill
     the micro-batch worker task and hang every later request for the
     model; (2) on a controls-disabled model, a request that passes a
-    controls vector is rejected per-request (the solo path raised
-    already; co-batching must not change a request's semantics)."""
+    controls vector is rejected per-request with HTTP 400 (the solo path
+    raised already; co-batching must not change a request's
+    semantics)."""
     import asyncio
     import copy
 
@@ -382,7 +389,8 @@ def test_server_worker_survives_bad_model_and_validates_controls(
                 client.post("/generate", json={
                     "text": "good", "model": 0, "seed": 3}),
             )
-            assert r_bad.status == 500
+            assert r_bad.status == 400  # client error, with the reason
+            assert "controls" in (await r_bad.json())["error"]
             assert r_good.status == 200
             body = await r_good.json()
             assert os.path.exists(body["path"])
