@@ -293,7 +293,7 @@ class HiFiGAN:
         return x
 
     def apply(self, params, mel: jnp.ndarray, fold: bool = False,
-              mrf_poly=False, mrf_pallas="auto", fuse_ups=False,
+              mrf_poly=False, mrf_pallas="auto", fuse_ups="auto",
               mrf_edge_mask: bool = False,
               interpret: bool = False) -> jnp.ndarray:
         """mel (B, T, num_mels) -> wav (B, T * total_upsample).
@@ -328,17 +328,26 @@ class HiFiGAN:
 
         ``fuse_ups``: additionally fuse each stage's lrelu -> transposed
         conv INTO its Pallas MRF kernel where the folded layouts align
-        (upsample_fusable: the u=2 late stages of UNIVERSAL_V1) — the
-        convT output then never round-trips HBM. Only takes effect for
-        stages already on the mrf_pallas path.
+        (upsample_fusable / upsample_fusable_expand: ALL UNIVERSAL_V1
+        stages) — the convT output then never round-trips HBM. Only takes
+        effect for stages already on the mrf_pallas path. Measured on v5e
+        (tools/vocoder_poly_bench.py, r4): **6.93 µs/frame vs 8.33
+        unfused vs 25.59 XLA base** (3.7× total), so the production
+        default is "auto": ON on accelerator backends, OFF on CPU (where
+        the Pallas path itself is off unless interpret is forced).
 
         ``mrf_edge_mask``: skip the per-conv boundary re-zeroing on
         interior tiles of the Pallas MRF kernels (one lax.cond per tile;
-        exact, gated in tests/test_mrf_pallas.py). Opt-in pending
-        hardware measurement (~4% of kernel time projected)."""
+        exact, gated in tests/test_mrf_pallas.py). MEASURED SLOWER on v5e
+        (r4: 9.37 vs 8.33 µs/frame unfused, 7.04 vs 6.93 fused — the
+        cond's doubled kernel body costs more than the 18 interior mask
+        passes it saves; it did NOT trip the Mosaic compile ceiling).
+        Kept as the documented negative; default OFF."""
         cfg, pol = self.cfg, self.policy
         if mrf_pallas == "auto":
             mrf_pallas = interpret or jax.default_backend() != "cpu"
+        if fuse_ups == "auto":
+            fuse_ups = jax.default_backend() != "cpu"
         num_kernels = len(cfg.resblock_kernel_sizes)
         n_stages = len(cfg.upsample_rates)
         poly_stages = (

@@ -31,22 +31,24 @@ from tacotron2_tpu.models.layers import Policy
 from tools.vocoder_decompose import slope_time
 
 VARIANTS = {
-    # mrf_pallas defaults to "auto" (= ON on TPU), so the XLA baseline
-    # must DISABLE it explicitly — dict() would A/B pallas against itself
+    # mrf_pallas AND fuse_ups default to "auto" (= ON on TPU since r4d:
+    # fuse_ups measured 6.93 vs 8.33 µs/frame), so every variant pins
+    # both explicitly — dict() would A/B the production path against
+    # itself
     "base": dict(mrf_pallas=False),
-    "pallas_all": dict(mrf_pallas=True),
-    # r4b: upsample convT fused INTO the late-stage kernels (u=2 stages)
+    "pallas_all": dict(mrf_pallas=True, fuse_ups=False),
+    # r4b: upsample convT fused INTO every stage's kernel (now default)
     "fuse_ups": dict(mrf_pallas=True, fuse_ups=True),
     # r4c: per-conv boundary masks skipped on interior tiles (lax.cond;
-    # ~2x kernel body — may trip the Mosaic compile ceiling: run these
-    # AFTER the safe variants / in a separate invocation)
-    "pallas_edge": dict(mrf_pallas=True, mrf_edge_mask=True),
+    # ~2x kernel body). MEASURED SLOWER r4 (9.37/7.04 vs 8.33/6.93) —
+    # kept for re-measurement if Mosaic's cond codegen improves
+    "pallas_edge": dict(mrf_pallas=True, fuse_ups=False, mrf_edge_mask=True),
     "fuse_edge": dict(mrf_pallas=True, fuse_ups=True, mrf_edge_mask=True),
-    "pallas_late2": dict(mrf_pallas=(False, False, True, True)),
-    "pallas_s1": dict(mrf_pallas=(True, False, False, False)),
-    "pallas_s2": dict(mrf_pallas=(False, True, False, False)),
-    "pallas_s3": dict(mrf_pallas=(False, False, True, False)),
-    "pallas_s4": dict(mrf_pallas=(False, False, False, True)),
+    "pallas_late2": dict(mrf_pallas=(False, False, True, True), fuse_ups=False),
+    "pallas_s1": dict(mrf_pallas=(True, False, False, False), fuse_ups=False),
+    "pallas_s2": dict(mrf_pallas=(False, True, False, False), fuse_ups=False),
+    "pallas_s3": dict(mrf_pallas=(False, False, True, False), fuse_ups=False),
+    "pallas_s4": dict(mrf_pallas=(False, False, False, True), fuse_ups=False),
 }
 
 
