@@ -114,6 +114,24 @@ def load_hifigan(checkpoint: Optional[str]):
     return HiFiGAN(HiFiGANConfig.from_dict(h)), params
 
 
+def host_prng_keys(seeds) -> np.ndarray:
+    """uint32 ``(N, 2)`` array bit-equal to ``jax.random.PRNGKey(seed)``
+    per row, for the default threefry2x32 impl with x64 disabled (the
+    framework default): jax truncates the Python seed to its low 32 bits
+    and zero-fills the high word (verified for 0/negative/>=2^32 seeds in
+    tests/test_server.py::test_host_prng_keys_match_jax).
+
+    Built on HOST. The warm server used to call ``jax.random.PRNGKey``
+    once per request in the micro-batch window; on the axon tunnel each
+    of those is a device dispatch costing a ~28 ms round trip — measured
+    ~450 ms of the K=16 batched window (tools/server_phase_probe.py).
+    """
+    a = np.asarray(seeds, dtype=np.int64)
+    return np.stack(
+        [np.zeros_like(a), a & 0xFFFFFFFF], axis=-1
+    ).astype(np.uint32)
+
+
 _VOCODER_JIT: dict = {}
 
 
@@ -128,6 +146,50 @@ def jitted_vocoder(hifigan):
     if ent is None or ent[0] is not hifigan:
         ent = (hifigan, jax.jit(hifigan.apply))
         _VOCODER_JIT[id(hifigan)] = ent
+    return ent[1]
+
+
+_CUT_VOCODER_JIT: dict = {}
+
+
+def jitted_cut_vocoder(hifigan):
+    """Cached jit of the warm server's DEVICE-SIDE vocode epilogue:
+    row-select + cut/pad to the ``Tb`` bucket + HiFi-GAN + PCM16
+    quantization, all in one launch so the mel never round-trips the
+    host. The previous flow fetched the full f32 mel block to the host
+    (5.2 MB at K=16/T=256), re-padded it with numpy, re-uploaded it, and
+    then fetched the f32 waveform (6.3 MB) — on the ~25-30 MB/s axon
+    tunnel those two transfers were ~60% of the batched window
+    (tools/server_phase_probe.py). This keeps the mel on device and
+    fetches int16 (4x fewer wav bytes).
+
+    ``fn(hifi_params, mels (B,T,M), row_idx (nb,), cuts (nb,), Tb)``:
+    rows are gathered by ``row_idx`` (host-padded to the power-of-two
+    row bucket with 0s), frames at or past a row's ``cuts`` are zeroed
+    (bit-identical to the old host ``np.pad`` of ``mel[:cuts]``; dummy
+    rows carry cut 0 = all-zero mel, same as the old zero-stack rows),
+    and the waveform is clipped/scaled exactly like
+    ``audio.io.write_wav``'s PCM_16 path (f32->int16 convert rounds
+    toward zero on both numpy and XLA)."""
+    import jax
+    import jax.numpy as jnp
+
+    ent = _CUT_VOCODER_JIT.get(id(hifigan))
+    if ent is None or ent[0] is not hifigan:
+
+        def fn(hifi_params, mels, row_idx, cuts, Tb):
+            m = jnp.take(mels, row_idx, axis=0)
+            if Tb <= m.shape[1]:
+                m = m[:, :Tb]
+            else:  # cut + RF margin can land past the decode buffer
+                m = jnp.pad(m, ((0, 0), (0, Tb - m.shape[1]), (0, 0)))
+            mask = jnp.arange(Tb)[None, :] < cuts[:, None]
+            wav = hifigan.apply(hifi_params, m * mask[..., None].astype(m.dtype))
+            clipped = jnp.clip(wav, -1.0, 1.0 - 1.0 / 32768.0)
+            return (clipped * 32768.0).astype(jnp.int16)
+
+        ent = (hifigan, jax.jit(fn, static_argnums=4))
+        _CUT_VOCODER_JIT[id(hifigan)] = ent
     return ent[1]
 
 

@@ -187,11 +187,13 @@ def _synthesize_batch(bundle, reqs: List[Dict[str, Any]]) -> List[str]:
             [r["controls"] for r in reqs], np.float32
         )))
     max_len = int(entry.get("max_len", 5000))  # frames cap (run/say.py:147)
-    row_keys = jnp.asarray(_bucket(np.stack([
-        np.asarray(jax.random.PRNGKey(
-            r["seed"] if r.get("seed") is not None else 0))
-        for r in reqs
-    ])))
+    from run.common import host_prng_keys
+
+    # per-request keys built on HOST: a per-request jax.random.PRNGKey
+    # here was 16 tunnel dispatches (~450 ms of the K=16 window)
+    row_keys = jnp.asarray(_bucket(host_prng_keys(
+        [r["seed"] if r.get("seed") is not None else 0 for r in reqs]
+    )))
     sig = (id(model), chars.shape, max_len, packed is not None,
            tuple(sorted(kwargs)))
     fn = _DECODE_JIT.get(sig)
@@ -212,11 +214,13 @@ def _synthesize_batch(bundle, reqs: List[Dict[str, Any]]) -> List[str]:
         _DECODE_JIT[sig] = fn
     out = fn(params, model_state, jnp.asarray(chars), jnp.asarray(lens),
              row_keys, packed, kwargs)
-    n = int(out.n_frames)
-    gates = np.asarray(out.gates)[..., 0]  # (B, T'), masked fill -1000
+    # one combined fetch (device_get issues async copies for both buffers
+    # before blocking -> one tunnel round-trip latency, not two)
+    n, gates = jax.device_get((out.n_frames, out.gates))
+    n = int(n)
+    gates = gates[..., 0]  # (B, T'), masked fill -1000
     neg = gates < 0.0
     first_fire = np.where(neg.any(1), neg.argmax(1), gates.shape[1])
-    mels_post = np.asarray(out.mels_post)
     # per-row frame cut at the row's FIRST gate fire — batch-invariant
     # (``lengths`` counts gate≥0 steps over the batch's global exec
     # horizon, which longer co-batched rows extend); == the scalar
@@ -233,26 +237,29 @@ def _synthesize_batch(bundle, reqs: List[Dict[str, Any]]) -> List[str]:
     # field reaches the bucket's SAME-padding boundary, so a row's wav is
     # bit-identical across bucket sizes (without it, a cut within RF of
     # its solo bucket produced a tail that depended on which longer
-    # requests shared the window).
+    # requests shared the window). The row-select/cut/pad and the PCM16
+    # quantization happen ON DEVICE (jitted_cut_vocoder): the mel block
+    # never round-trips the host and the waveform crosses the tunnel as
+    # int16 — the old host-stack flow spent ~60% of the batched window
+    # moving f32 mels down + up and f32 wavs down (server_phase_probe).
     wavs: Dict[int, Any] = {}
     rows = [b for b in range(len(reqs)) if use_voc[b]]
     if rows:
+        from run.common import jitted_cut_vocoder
+
         margin = hifigan.mel_receptive_field()
         Tb = -(-(max(cuts[b] for b in rows) + margin) // 128) * 128
-        stack = np.stack([
-            np.pad(mels_post[b, : cuts[b]], ((0, Tb - cuts[b]), (0, 0)))
-            for b in rows
-        ])
         nb = 1
         while nb < len(rows):
             nb *= 2
-        if nb > len(rows):  # zero-mel dummy rows, discarded below
-            stack = np.concatenate(
-                [stack, np.zeros((nb - len(rows),) + stack.shape[1:],
-                                 stack.dtype)], axis=0)
-        from run.common import jitted_vocoder
-
-        batch_wav = np.asarray(jitted_vocoder(hifigan)(hifi_params, stack))
+        # dummy rows: row 0 with cut 0 -> fully masked -> zero mel, same
+        # as the old explicit zero-stack rows; discarded below
+        row_idx = np.array(rows + [0] * (nb - len(rows)), np.int32)
+        cuts_arr = np.array([cuts[b] for b in rows] + [0] * (nb - len(rows)),
+                            np.int32)
+        batch_wav = np.asarray(jitted_cut_vocoder(hifigan)(
+            hifi_params, out.mels_post, jnp.asarray(row_idx),
+            jnp.asarray(cuts_arr), Tb))
         factor = batch_wav.shape[1] // Tb  # upsample product (256 for 22k)
         for i, b in enumerate(rows):
             wavs[b] = batch_wav[i, : cuts[b] * factor]
@@ -260,7 +267,9 @@ def _synthesize_batch(bundle, reqs: List[Dict[str, Any]]) -> List[str]:
     for b, r in enumerate(reqs):
         wav = wavs.get(b)
         if wav is None:  # Griffin-Lim path (no vocoder / UI toggle off)
-            wav = vocode(mels_post[b, : cuts[b]], None, None, prep.sample_rate)
+            # device-slice the one row so only its frames cross the tunnel
+            mel_b = np.asarray(out.mels_post[b, : cuts[b]])
+            wav = vocode(mel_b, None, None, prep.sample_rate)
         write_wav(r["out_path"], np.asarray(wav), prep.sample_rate)
         paths.append(r["out_path"])
     return paths

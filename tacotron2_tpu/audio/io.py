@@ -106,8 +106,14 @@ def write_wav(path: str, wav: np.ndarray, sample_rate: int, subtype: str = "PCM_
     num_channels = wav.shape[1]
 
     if subtype == "PCM_16":
-        clipped = np.clip(wav, -1.0, 1.0 - 1.0 / 32768.0)
-        payload = (clipped * 32768.0).astype("<i2").tobytes()
+        if wav.dtype == np.int16:
+            # already device-quantized (run/common.py::jitted_cut_vocoder
+            # applies this exact clip/scale on-device so the server fetches
+            # 2-byte samples over the tunnel instead of 4-byte floats)
+            payload = wav.astype("<i2", copy=False).tobytes()
+        else:
+            clipped = np.clip(wav, -1.0, 1.0 - 1.0 / 32768.0)
+            payload = (clipped * 32768.0).astype("<i2").tobytes()
         bits, fmt_tag = 16, _WAVE_FORMAT_PCM
     elif subtype == "FLOAT":
         payload = wav.astype("<f4").tobytes()

@@ -433,3 +433,77 @@ def test_vocode_bucket_invariance_and_rf():
     # UNIVERSAL_V1 flagship shape: RF is a couple dozen mel frames
     flagship = HiFiGAN(HiFiGANConfig())
     assert 8 <= flagship.mel_receptive_field() <= 64
+
+
+def test_host_prng_keys_match_jax():
+    """run.common.host_prng_keys builds per-request threefry keys on the
+    HOST (each jax.random.PRNGKey call is a device dispatch — ~28 ms per
+    request through the axon tunnel, ~450 ms of a K=16 batched window).
+    Pin bit-equality with jax.random.PRNGKey under the framework default
+    (threefry2x32, x64 disabled: jax truncates the seed to its low 32
+    bits, zero high word) across the integer edge cases a JSON 'seed'
+    field can carry."""
+    import jax
+
+    from run.common import host_prng_keys
+
+    seeds = [0, 1, 7, 123456789, 2**31 - 1, 2**32 + 17, 2**63 - 1,
+             -1, -(2**31)]
+    got = host_prng_keys(seeds)
+    assert got.dtype == np.uint32 and got.shape == (len(seeds), 2)
+    for s, h in zip(seeds, got):
+        np.testing.assert_array_equal(np.asarray(jax.random.PRNGKey(s)), h)
+
+
+def test_cut_vocoder_matches_host_stack(tmp_path):
+    """The device-side vocode epilogue (run.common.jitted_cut_vocoder:
+    row gather + per-row cut zeroing + HiFi-GAN + PCM16 quantize in ONE
+    jitted launch, so the mel block never round-trips the host and the
+    wav crosses the tunnel as int16) is bit-identical to the old host
+    flow: fetch mels, np.pad each row to the Tb bucket, stack with
+    zero dummy rows, f32 vocode, write_wav's PCM16 clip/scale. Covers
+    Tb past the decode buffer (the jnp.pad branch) and the
+    power-of-two dummy rows, and pins that write_wav's int16
+    passthrough produces the same file bytes as its f32 path."""
+    import jax
+    import jax.numpy as jnp
+
+    from run.common import jitted_cut_vocoder, jitted_vocoder
+    from tacotron2_tpu.audio.io import write_wav
+    from tacotron2_tpu.models.hifigan import HiFiGAN, HiFiGANConfig
+    from tacotron2_tpu.models.layers import Policy
+
+    m = HiFiGAN(HiFiGANConfig(
+        upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=32, num_mels=8),
+        Policy.from_string("32-true"))
+    p = m.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    mels = rng.standard_normal((5, 40, 8)).astype(np.float32)  # (B, T', M)
+    rows, cuts = [0, 2, 3], {0: 20, 2: 7, 3: 38}
+
+    for Tb in (40, 128):  # slice branch / pad-past-the-buffer branch
+        nb = 4  # power-of-two bucket -> one dummy row
+        # old host flow
+        stack = np.stack([
+            np.pad(mels[b, : cuts[b]], ((0, Tb - cuts[b]), (0, 0)))
+            for b in rows
+        ] + [np.zeros((Tb, 8), np.float32)])
+        wav_host = np.asarray(jitted_vocoder(m)(p, stack))
+        clipped = np.clip(wav_host, -1.0, 1.0 - 1.0 / 32768.0)
+        ref_i16 = (clipped * 32768.0).astype(np.int16)
+        # new device flow
+        row_idx = jnp.asarray(np.array(rows + [0], np.int32))
+        cuts_arr = jnp.asarray(
+            np.array([cuts[b] for b in rows] + [0], np.int32))
+        got = np.asarray(jitted_cut_vocoder(m)(
+            p, jnp.asarray(mels), row_idx, cuts_arr, Tb))
+        assert got.dtype == np.int16 and got.shape == (nb, Tb * 8)
+        np.testing.assert_array_equal(got, ref_i16)
+
+    # write_wav: int16 passthrough == f32 path, byte for byte
+    f_a, f_b = str(tmp_path / "a.wav"), str(tmp_path / "b.wav")
+    write_wav(f_a, wav_host[0], 22050)
+    write_wav(f_b, got[0], 22050)
+    with open(f_a, "rb") as fa, open(f_b, "rb") as fb:
+        assert fa.read() == fb.read()
