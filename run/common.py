@@ -193,6 +193,43 @@ def jitted_cut_vocoder(hifigan):
     return ent[1]
 
 
+_MEL_ROW_CUT_JIT = None
+
+
+def jitted_mel_row_cut():
+    """Cached jit of ``(mels (B,T,M), row, Tb) -> mels[row, :Tb]`` with the
+    row index a TRACED operand and ``Tb`` static. Fetching a single row's
+    cut mel via plain indexing (``mels[b, :cut]``) compiles a new tiny
+    slice executable per unique ``(b, cut)`` pair — on the warm server's
+    Griffin-Lim path that meant a fresh (tunnel round-trip) compile for
+    nearly every request. Bucketing ``Tb`` to 128 multiples bounds the
+    executable count to the handful of length buckets; the caller trims
+    the host array to the exact cut."""
+    global _MEL_ROW_CUT_JIT
+    if _MEL_ROW_CUT_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        def fn(mels, row, Tb):
+            return jax.lax.dynamic_index_in_dim(
+                mels, row, axis=0, keepdims=False)[:Tb]
+
+        _MEL_ROW_CUT_JIT = jax.jit(fn, static_argnums=2)
+    return _MEL_ROW_CUT_JIT
+
+
+def fetch_mel_row(mels, row: int, cut: int) -> np.ndarray:
+    """Device->host fetch of ``mels[row, :cut]`` through the bucketed
+    jitted slice (one executable per 128-frame bucket instead of per
+    (row, cut) pair; only ~bucket frames cross the tunnel instead of the
+    full (B, T, M) block)."""
+    import jax.numpy as jnp
+
+    Tb = min(int(mels.shape[1]), -(-max(cut, 1) // 128) * 128)
+    out = jitted_mel_row_cut()(mels, jnp.asarray(row, jnp.int32), Tb)
+    return np.asarray(out)[:cut]
+
+
 def vocode(mel_post: np.ndarray, hifigan, hifi_params, sample_rate: int) -> np.ndarray:
     """mel (T, M) log-mel -> waveform. HiFi-GAN on-device if given, else
     Griffin-Lim on exp(mel) (run/say.py:153-171)."""

@@ -149,12 +149,36 @@ def do_say(
 
     n = int(out.n_frames)
     # drop the final (gate-fired) frame like the reference (run/say.py:153-161)
-    mel_post = np.asarray(out.mels_post)[0, : max(n - 1, 1)]
+    cut = max(n - 1, 1)
 
-    wav = vocode(mel_post, hifigan, hifi_params, prep.sample_rate)
+    if hifigan is not None:
+        # device-side epilogue (run/common.py::jitted_cut_vocoder): cut
+        # masking + HiFi-GAN + PCM16 quantize in one launch. The mel
+        # buffer never crosses the tunnel and the wav comes back as
+        # int16. Tb is bucketed to 128 frames past the receptive-field
+        # margin, so the HiFi-GAN executable is REUSED across utterance
+        # lengths (the old exact-length vocode recompiled the full
+        # generator for every new utterance length — ~20-40 s through
+        # the tunnel on a persistent-cache miss); output is bit-identical
+        # to the exact-length vocode for the first cut*hop samples
+        # (tests/test_server.py::test_vocode_bucket_invariance_and_rf).
+        from run.common import jitted_cut_vocoder
+
+        Tb = -(-(cut + hifigan.mel_receptive_field()) // 128) * 128
+        batch_wav = np.asarray(jitted_cut_vocoder(hifigan)(
+            hifi_params, out.mels_post, jnp.asarray([0], jnp.int32),
+            jnp.asarray([cut], jnp.int32), Tb))
+        wav = batch_wav[0, : cut * (batch_wav.shape[1] // Tb)]
+    else:
+        from run.common import fetch_mel_row
+
+        wav = vocode(fetch_mel_row(out.mels_post, 0, cut),
+                     None, None, prep.sample_rate)
     write_wav(output, np.asarray(wav), prep.sample_rate)
 
     if export_mel:
-        np.save(output, mel_post.T)
+        from run.common import fetch_mel_row
+
+        np.save(output, fetch_mel_row(out.mels_post, 0, cut).T)
     print(f"wrote {output}: {len(wav) / prep.sample_rate:.2f}s ({n} frames, seed {random_seed})")
     return output

@@ -267,9 +267,13 @@ def _synthesize_batch(bundle, reqs: List[Dict[str, Any]]) -> List[str]:
     for b, r in enumerate(reqs):
         wav = wavs.get(b)
         if wav is None:  # Griffin-Lim path (no vocoder / UI toggle off)
-            # device-slice the one row so only its frames cross the tunnel
-            mel_b = np.asarray(out.mels_post[b, : cuts[b]])
-            wav = vocode(mel_b, None, None, prep.sample_rate)
+            # bucketed device-slice: only this row's frames cross the
+            # tunnel, through a per-128-bucket executable (plain
+            # mels[b, :cut] indexing would compile per (row, cut) pair)
+            from run.common import fetch_mel_row
+
+            wav = vocode(fetch_mel_row(out.mels_post, b, cuts[b]),
+                         None, None, prep.sample_rate)
         write_wav(r["out_path"], np.asarray(wav), prep.sample_rate)
         paths.append(r["out_path"])
     return paths

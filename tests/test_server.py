@@ -507,3 +507,127 @@ def test_cut_vocoder_matches_host_stack(tmp_path):
     write_wav(f_b, got[0], 22050)
     with open(f_a, "rb") as fa, open(f_b, "rb") as fb:
         assert fa.read() == fb.read()
+
+
+def test_server_batched_per_row_conditioning(tmp_path, monkeypatch):
+    """Co-batched requests keep THEIR OWN conditioning: speaker_id and
+    controls are stacked per row in _synthesize_batch (a regression that
+    broadcast row 0's conditioning across the window would pass every
+    other server test — seeds are the only per-row signal they pin).
+    Three concurrent requests share one decode launch with the SAME seed
+    but different (voice, controls); each must (a) differ from the
+    others and (b) match its own solo run. HiFi-GAN entry so the wavs
+    carry real signal even at the untrained model's 1-frame gate cut."""
+    import asyncio
+    import sys
+
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference")
+    from model.hifi_gan import Generator as TorchGenerator
+
+    h = {"resblock": "1", "upsample_rates": [8, 2], "upsample_kernel_sizes": [16, 4],
+         "upsample_initial_channel": 16, "resblock_kernel_sizes": [3],
+         "resblock_dilation_sizes": [[1, 3, 5]], "num_mels": 16}
+
+    class AttrDict(dict):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.__dict__ = self
+
+    torch.manual_seed(0)
+    gen = TorchGenerator(AttrDict(dict(h, num_mels=80)))
+    gen.conv_pre = torch.nn.utils.weight_norm(torch.nn.Conv1d(16, 16, 7, 1, padding=3))
+    hdir = tmp_path / "hifi"
+    hdir.mkdir()
+    torch.save({"generator": gen.state_dict()}, str(hdir / "g_00000001"))
+    with open(hdir / "config.json", "w") as f:
+        json.dump(h, f)
+
+    from run.common import build_model
+    from tacotron2_tpu.config import config_from_dict
+    from tacotron2_tpu.training.checkpoint import save_checkpoint
+
+    raw_cfg = {
+        "dataset": {"preprocessing": {"allowed_chars": LJ_CHARS, "end_token": "^",
+                                       "num_mels": 16, "trim": False, "cache": False}},
+        "training": {"lr": 1e-3, "batch_size": 2, "weight_decay": 0.0,
+                     "precision": "32-true", "name": "srv-cond",
+                     "args": {"max_steps": 1}},
+        "model": {"scheduler_milestones": [],
+                  "args": {"prenet_dim": 8, "att_rnn_dim": 16, "att_dim": 8,
+                           "rnn_hidden_dim": 16, "postnet_dim": 8, "dropout": 0.1,
+                           "encoded_dim": 16, "encoder_kernel_size": 5}},
+        "extensions": {
+            "speaker_tokens": {"active": True, "num_speakers": 2},
+            "controls": {"active": True,
+                          "features": ["a_speaker_norm_clip", "b_speaker_norm_clip"]},
+        },
+    }
+    cfg = config_from_dict(raw_cfg)
+    import jax as _jax
+
+    model = build_model(cfg)
+    params, state = model.init(_jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "m.ckpt")
+    save_checkpoint(ckpt, params, state, raw_cfg)
+    cfg_path = str(tmp_path / "config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(raw_cfg, f)
+
+    server_config = {
+        "models": [{"name": "cond", "config": cfg_path, "checkpoint": ckpt,
+                    "hifi_gan_checkpoint": str(hdir / "g_00000001"),
+                    "multi_speaker": True, "controllable": True,
+                    "num_voices": 2, "max_len": 12}],
+        "batching": {"window_ms": 500, "max_batch": 8},
+    }
+    monkeypatch.chdir(tmp_path)
+
+    async def run():
+        from aiohttp import ClientTimeout
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from run import server as srv
+        from tacotron2_tpu.audio.io import read_wav
+
+        app = srv.make_app(server_config, mode="warm")
+        async with TestClient(
+            TestServer(app), timeout=ClientTimeout(total=1200)
+        ) as client:
+            reqs = [  # same text + seed: conditioning is the ONLY per-row delta
+                {"text": "same words", "model": 0, "seed": 5,
+                 "voice": 0, "controls": [0.0, 0.0]},
+                {"text": "same words", "model": 0, "seed": 5,
+                 "voice": 1, "controls": [0.0, 0.0]},
+                {"text": "same words", "model": 0, "seed": 5,
+                 "voice": 0, "controls": [1.0, -1.0]},
+            ]
+            # warm compile with a solo request first (bucket B=1)
+            r = await client.post("/generate", json=reqs[0])
+            assert r.status == 200, await r.text()
+
+            calls0 = srv.BATCH_CALLS[0]
+            rs = await asyncio.gather(*[
+                client.post("/generate", json=q) for q in reqs])
+            paths = []
+            for r in rs:
+                assert r.status == 200, await r.text()
+                paths.append((await r.json())["path"])
+            assert srv.BATCH_CALLS[0] - calls0 == 1, "did not coalesce"
+
+            wavs = [read_wav(p)[0] for p in paths]
+            # (a) conditioning flows per row: speaker delta and controls
+            # delta both change the audio
+            def differ(a, b):
+                return a.shape != b.shape or float(np.abs(a - b).max()) > 1e-4
+            assert differ(wavs[0], wavs[1]), "speaker_id did not flow per row"
+            assert differ(wavs[0], wavs[2]), "controls did not flow per row"
+
+            # (b) each row matches its own solo run
+            for q, wav_b in zip(reqs, wavs):
+                r = await client.post("/generate", json=q)
+                wav_s = read_wav((await r.json())["path"])[0]
+                assert wav_b.shape == wav_s.shape
+                np.testing.assert_allclose(wav_b, wav_s, atol=1e-3, rtol=0)
+
+    asyncio.run(run())

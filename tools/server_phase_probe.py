@@ -1,15 +1,29 @@
 """Phase-level timing of the warm server's batched synthesis path on real
 hardware — where does a batched /generate window actually spend its time?
 
-Replays the exact `_synthesize_batch` flow (same bundle builder as
-tools/server_bench.py) but with a perf_counter around each phase:
+Replays the `_synthesize_batch` flow (same bundle builder as
+tools/server_bench.py) with a perf_counter around each phase, in BOTH
+generations so the transfer rework stays quantified:
 
-  prep    host text-norm + encode + bucket padding
-  decode  jitted fused decode call + the n_frames/gates/mels fetches
-  stack   host-side cut/pad/stack of the vocoder input
-  vocode  jitted batched HiFi-GAN call (dispatch only — jax is async)
-  fetch   np.asarray(batch_wav) device->host of the waveforms
+OLD (pre-r4d host-stack flow, kept here as the A/B baseline):
+  prep    host text-norm + encode + bucket padding + per-request
+          jax.random.PRNGKey (one tunnel dispatch EACH)
+  decode+fetch  decode call + separate n/gates fetches + the FULL f32
+          mel block device->host
+  stack   host-side cut/pad/stack, then re-UPLOAD inside the vocode call
+  vocode  jitted batched HiFi-GAN (dispatch only — jax is async)
+  wavfetch  np.asarray of the f32 waveforms
   write   wav_write of every request
+
+NEW (current run/server.py flow):
+  prep    same host prep but host_prng_keys (zero device dispatches)
+  decode+fetch  decode call + ONE combined (n, gates) device_get; the
+          mel block stays on device
+  epilogue  jitted_cut_vocoder dispatch (row gather + cut mask +
+          HiFi-GAN + PCM16 quantize in one launch)
+  wavfetch  np.asarray of the int16 waveforms (4x fewer bytes than old,
+          and no mel ever crossed)
+  write   wav_write (int16 passthrough)
 
 Usage: python tools/server_phase_probe.py [K max_len rounds]
 """
@@ -41,7 +55,7 @@ def main():
     rounds = args[2] if len(args) >= 3 else 3
 
     from tools.server_bench import build_bundle, TEXTS
-    from run.common import jitted_vocoder
+    from run.common import host_prng_keys, jitted_cut_vocoder, jitted_vocoder
     from run.server import _DECODE_JIT
     from tacotron2_tpu.audio.io import write_wav
     from tacotron2_tpu.text.cleaners import normalize_text
@@ -59,7 +73,7 @@ def main():
         for i in range(K)
     ]
 
-    def run(tag):
+    def run(tag, flow):
         t = {}
         t0 = time.perf_counter()
         encoder = CharEncoder(prep.allowed_chars, prep.end_token)
@@ -71,9 +85,12 @@ def main():
         B, L = chars.shape
         Lb = max(128, -(-L // 128) * 128)
         chars = np.pad(chars, ((0, 0), (0, Lb - L)))
-        row_keys = jnp.asarray(np.stack([
-            np.asarray(jax.random.PRNGKey(r["seed"])) for r in reqs
-        ]))
+        if flow == "old":  # one device dispatch PER REQUEST
+            row_keys = jnp.asarray(np.stack([
+                np.asarray(jax.random.PRNGKey(r["seed"])) for r in reqs
+            ]))
+        else:
+            row_keys = jnp.asarray(host_prng_keys([r["seed"] for r in reqs]))
         t["prep"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -88,32 +105,51 @@ def main():
             _DECODE_JIT[sig] = fn
         out = fn(params, model_state, jnp.asarray(chars), jnp.asarray(lens),
                  row_keys, {})
-        n = int(out.n_frames)
-        gates = np.asarray(out.gates)[..., 0]
-        mels_post = np.asarray(out.mels_post)
-        t["decode+fetch"] = time.perf_counter() - t0
+        if flow == "old":
+            n = int(out.n_frames)
+            gates = np.asarray(out.gates)[..., 0]
+            mels_post = np.asarray(out.mels_post)  # full f32 mel block
+            t[f"decode+fetch[{mels_post.nbytes >> 20}MB]"] = (
+                time.perf_counter() - t0)
+        else:
+            n, gates = jax.device_get((out.n_frames, out.gates))
+            n = int(n)
+            gates = gates[..., 0]
+            t["decode+fetch"] = time.perf_counter() - t0
 
         neg = gates < 0.0
         first_fire = np.where(neg.any(1), neg.argmax(1), gates.shape[1])
         cuts = [max(min(int(first_fire[b]), n - 1), 1) for b in range(len(reqs))]
+        margin = hifigan.mel_receptive_field()
+        Tb = -(-(max(cuts) + margin) // 128) * 128
 
-        for margin_tag, margin in (("rf", hifigan.mel_receptive_field()),
-                                   ("nomargin", 0)):
+        if flow == "old":
             t0 = time.perf_counter()
-            Tb = -(-(max(cuts) + margin) // 128) * 128
             stack = np.stack([
                 np.pad(mels_post[b, : cuts[b]], ((0, Tb - cuts[b]), (0, 0)))
                 for b in range(len(reqs))
             ])
-            t[f"stack[{margin_tag}:T{Tb}]"] = time.perf_counter() - t0
+            t[f"stack[T{Tb}]"] = time.perf_counter() - t0
 
             t0 = time.perf_counter()
             batch_wav_dev = jitted_vocoder(hifigan)(hifi_params, stack)
-            t[f"vocode[{margin_tag}]"] = time.perf_counter() - t0
+            t["vocode"] = time.perf_counter() - t0
 
             t0 = time.perf_counter()
-            batch_wav = np.asarray(batch_wav_dev)
-            t[f"wavfetch[{margin_tag}:{batch_wav.nbytes >> 20}MB]"] = (
+            batch_wav = np.asarray(batch_wav_dev)  # f32 waveforms
+            t[f"wavfetch[{batch_wav.nbytes >> 20}MB]"] = (
+                time.perf_counter() - t0)
+        else:
+            t0 = time.perf_counter()
+            row_idx = jnp.asarray(np.arange(len(reqs), dtype=np.int32))
+            cuts_dev = jnp.asarray(np.asarray(cuts, np.int32))
+            batch_wav_dev = jitted_cut_vocoder(hifigan)(
+                hifi_params, out.mels_post, row_idx, cuts_dev, Tb)
+            t[f"epilogue[T{Tb}]"] = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            batch_wav = np.asarray(batch_wav_dev)  # int16 waveforms
+            t[f"wavfetch[{batch_wav.nbytes >> 20}MB]"] = (
                 time.perf_counter() - t0)
 
         t0 = time.perf_counter()
@@ -126,11 +162,18 @@ def main():
         total = sum(t.values())
         print(f"{tag}: total {total*1e3:7.1f} ms  " +
               "  ".join(f"{k} {v*1e3:.1f}" for k, v in t.items()), flush=True)
+        return total
 
     print("warming (compiles)...", flush=True)
-    run("warm")
-    for r in range(rounds):
-        run(f"round{r}")
+    run("warm-old", "old")
+    run("warm-new", "new")
+    best = {}
+    for r in range(rounds):  # ABAB so tunnel drift hits both flows
+        for flow in ("old", "new"):
+            tot = run(f"round{r}-{flow}", flow)
+            best[flow] = min(best.get(flow, float("inf")), tot)
+    print(f"best: old {best['old']*1e3:.1f} ms  new {best['new']*1e3:.1f} ms  "
+          f"speedup {best['old'] / best['new']:.2f}x", flush=True)
 
 
 if __name__ == "__main__":
