@@ -30,7 +30,6 @@ being hard-coded in source (run/server.py:11-112).
 from __future__ import annotations
 
 import asyncio
-import html
 import json
 import os
 import uuid
@@ -409,8 +408,21 @@ def make_app(server_config: Dict[str, Any], mode: str = "warm") -> web.Applicati
         with open(path.join(GENERATED_DIR, f"{req_id}.json"), "w") as f:
             json.dump(data, f)
 
-        text = html.escape(data.get("text", ""))
+        # no escaping: the reference's `\`/`!`/`'` translation
+        # (run/server.py:139-147) is shell-metachar protection for its
+        # subprocess SHELL string; we exec argv-style (no shell) and the
+        # warm path calls synthesis in-process, so escaping would only
+        # corrupt the spoken text (html.escape turned "don't" into
+        # "don&#x27;t" -> "donx27t" after char filtering). normalize_text
+        # drops disallowed characters anyway.
+        text = data.get("text", "")
         model_idx = int(data.get("model", 0))
+        if not 0 <= model_idx < len(registry.entries):
+            # request validation: the client's error, not a worker 500
+            return web.json_response(
+                {"error": f"model index {model_idx} out of range "
+                          f"(0..{len(registry.entries) - 1})"},
+                status=400)
         seed = data.get("seed")
         seed = int(seed) if seed not in (None, "") else None
         speaker_id = data.get("voice")

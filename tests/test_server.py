@@ -398,6 +398,53 @@ def test_server_worker_survives_bad_model_and_validates_controls(
     asyncio.run(run())
 
 
+def test_server_text_reaches_synthesis_unescaped(tiny_server_setup, tmp_path,
+                                                 monkeypatch):
+    """Regression: the spoken text must reach synthesis VERBATIM. The
+    reference's `\\`/`!`/`'` translation (run/server.py:139-147) is shell
+    -metachar protection for its subprocess shell string — we exec
+    argv-style and synthesize in-process, so any escaping layer corrupts
+    the audio (an earlier html.escape turned "don't" into "don&#x27;t",
+    which normalize_text's char filter then spoke as "donx27t")."""
+    import asyncio
+
+    monkeypatch.chdir(tmp_path)
+    raw = "don't stop! it's O'Neill's."
+    captured = []
+
+    async def run():
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from run import server as srv
+
+        real = srv._synthesize_batch
+
+        def spy(bundle, reqs):
+            captured.extend(r["text"] for r in reqs)
+            return real(bundle, reqs)
+
+        monkeypatch.setattr(srv, "_synthesize_batch", spy)
+        app = srv.make_app(tiny_server_setup, mode="warm")
+        async with TestClient(TestServer(app)) as client:
+            resp = await client.post(
+                "/generate", json={"text": raw, "model": 0, "seed": 2}
+            )
+            assert resp.status == 200
+            body = await resp.json()
+            # metadata dump keeps the raw request text too
+            with open(body["path"].replace(".wav", ".json")) as f:
+                assert json.load(f)["text"] == raw
+            # out-of-range model index is request validation -> 400
+            bad = await client.post(
+                "/generate", json={"text": "x", "model": 9, "seed": 1}
+            )
+            assert bad.status == 400
+            assert "model index" in (await bad.json())["error"]
+
+    asyncio.run(run())
+    assert captured == [raw]
+
+
 def test_vocode_bucket_invariance_and_rf():
     """The serving path pads each row's mel to a 128-frame bucket sized
     with the generator's mel-domain receptive field: with that margin, a
