@@ -423,11 +423,28 @@ def make_app(server_config: Dict[str, Any], mode: str = "warm") -> web.Applicati
                 {"error": f"model index {model_idx} out of range "
                           f"(0..{len(registry.entries) - 1})"},
                 status=400)
-        seed = data.get("seed")
+        # reference-client compatibility: accept the reference UI's field
+        # names as aliases (web/index.html:190-201 posts random_seed /
+        # speaker / vocoder / one named field per control slider, mapped
+        # to say flags in run/server.py:149-174)
+        seed = data.get("seed", data.get("random_seed"))
         seed = int(seed) if seed not in (None, "") else None
-        speaker_id = data.get("voice")
+        speaker_id = data.get("voice", data.get("speaker"))
         speaker_id = int(speaker_id) if speaker_id not in (None, "") else None
         controls = data.get("controls")
+        if controls is None and registry.entries[model_idx].get("controllable"):
+            # the reference's server config carries a `controls` list of
+            # {"val": <request field>} slider descriptors; default to the
+            # reference UI's five names so its stock page works unchanged.
+            # Only for controllable models — the reference UI posts the
+            # slider fields unconditionally and its server ignores them
+            # otherwise (run/server.py:165-170)
+            names = [c["val"] if isinstance(c, dict) else str(c)
+                     for c in server_config.get("controls", [])] or [
+                         "pitch", "pitch_range", "intensity", "nhr", "rate"]
+            if any(n in data for n in names):
+                controls = [float(data.get(n, 0.0)) for n in names]
+        use_vocoder = bool(data.get("use_vocoder", data.get("vocoder", True)))
         out_path = path.join(GENERATED_DIR, f"{req_id}.wav")
 
         if mode == "subprocess":
@@ -437,7 +454,9 @@ def make_app(server_config: Dict[str, Any], mode: str = "warm") -> web.Applicati
                 "python", "main.py", "--config", entry["config"], "say",
                 "--checkpoint", entry["checkpoint"], "--text", text, "--out", out_path,
             ]
-            if entry.get("hifi_gan_checkpoint"):
+            # the reference gates the vocoder flag on the request's
+            # checkbox (run/server.py:162-163), not just the registry
+            if use_vocoder and entry.get("hifi_gan_checkpoint"):
                 cmd += ["--hifi-gan-checkpoint", entry["hifi_gan_checkpoint"]]
             if seed is not None:
                 cmd += ["--random-seed", str(seed)]
@@ -453,7 +472,7 @@ def make_app(server_config: Dict[str, Any], mode: str = "warm") -> web.Applicati
             req = {
                 "text": text, "seed": seed, "speaker_id": speaker_id,
                 "controls": controls, "out_path": out_path,
-                "use_vocoder": bool(data.get("use_vocoder", True)),
+                "use_vocoder": use_vocoder,
             }
             try:
                 if batcher is not None:
@@ -469,7 +488,9 @@ def make_app(server_config: Dict[str, Any], mode: str = "warm") -> web.Applicati
                 # request validation (controls dim, speaker range): the
                 # CLIENT's error — 400 with the message, not a 500 page
                 return web.json_response({"error": str(exc)}, status=400)
-        return web.json_response({"path": out_path})
+        # `filename` mirrors the reference response shape
+        # (run/server.py:188: {"filename": "/web_generated/...wav"})
+        return web.json_response({"path": out_path, "filename": "/" + out_path})
 
     app = web.Application()
     app.add_routes(

@@ -445,6 +445,118 @@ def test_server_text_reaches_synthesis_unescaped(tiny_server_setup, tmp_path,
     assert captured == [raw]
 
 
+def test_server_reference_client_schema(tmp_path, monkeypatch):
+    """A stock reference client works unchanged: the reference UI posts
+    {model, text, random_seed, speaker, vocoder, <one named field per
+    control slider>} (web/index.html:190-201) and reads `filename` from
+    the response (run/server.py:188). Our /generate accepts those as
+    aliases — the named slider fields map through the server config's
+    `controls` list of {"val": name} descriptors — and must produce the
+    same audio as the equivalent framework-schema request."""
+    import asyncio
+
+    monkeypatch.chdir(tmp_path)
+
+    from run.common import build_model
+    from tacotron2_tpu.config import config_from_dict
+    from tacotron2_tpu.training.checkpoint import save_checkpoint
+
+    raw_cfg = {
+        "dataset": {"preprocessing": {"allowed_chars": LJ_CHARS, "end_token": "^",
+                                       "num_mels": 16, "trim": False, "cache": False}},
+        "training": {"lr": 1e-3, "batch_size": 2, "weight_decay": 0.0,
+                     "precision": "32-true", "name": "srv-ref",
+                     "args": {"max_steps": 1}},
+        "model": {"scheduler_milestones": [],
+                  "args": {"prenet_dim": 8, "att_rnn_dim": 16, "att_dim": 8,
+                           "rnn_hidden_dim": 16, "postnet_dim": 8, "dropout": 0.1,
+                           "encoded_dim": 16, "encoder_kernel_size": 5}},
+        "extensions": {
+            "speaker_tokens": {"active": True, "num_speakers": 2},
+            "controls": {"active": True,
+                          "features": ["pitch_speaker_norm_clip",
+                                       "rate_speaker_norm_clip"]},
+        },
+    }
+    cfg = config_from_dict(raw_cfg)
+    import jax as _jax
+
+    model = build_model(cfg)
+    params, state = model.init(_jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "m.ckpt")
+    save_checkpoint(ckpt, params, state, raw_cfg)
+    cfg_path = str(tmp_path / "config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(raw_cfg, f)
+
+    server_config = {
+        "models": [{"name": "ref", "config": cfg_path, "checkpoint": ckpt,
+                    "multi_speaker": True, "controllable": True,
+                    "num_voices": 2, "max_len": 12}],
+        # reference-style slider descriptors (its _CONFIG["controls"])
+        "controls": [{"val": "pitch"}, {"val": "rate"}],
+    }
+
+    async def run():
+        from aiohttp import ClientTimeout
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from run import server as srv
+        from tacotron2_tpu.audio.io import read_wav
+
+        app = srv.make_app(server_config, mode="warm")
+        async with TestClient(
+            TestServer(app), timeout=ClientTimeout(total=1200)
+        ) as client:
+            ref_style = {"text": "hello there", "model": 0, "speaker": 1,
+                         "random_seed": 11, "vocoder": True,
+                         "pitch": 0.5, "rate": -0.25}
+            our_style = {"text": "hello there", "model": 0, "voice": 1,
+                         "seed": 11, "use_vocoder": True,
+                         "controls": [0.5, -0.25]}
+            r_ref = await client.post("/generate", json=ref_style)
+            assert r_ref.status == 200, await r_ref.text()
+            body = await r_ref.json()
+            assert body["filename"] == "/" + body["path"]
+            r_our = await client.post("/generate", json=our_style)
+            assert r_our.status == 200, await r_our.text()
+            wav_ref = read_wav(body["path"])[0]
+            wav_our = read_wav((await r_our.json())["path"])[0]
+            np.testing.assert_array_equal(wav_ref, wav_our)
+
+            # a reference client posts the slider fields unconditionally
+            # (its UI's output dict always includes them) — they must be
+            # IGNORED when the registry entry is non-controllable, not
+            # rejected by controls validation
+            raw2 = json.loads(json.dumps(raw_cfg))
+            raw2["extensions"] = {"speaker_tokens": {"active": False},
+                                  "controls": {"active": False}}
+            cfg2 = config_from_dict(raw2)
+            m2 = build_model(cfg2)
+            p2, s2 = m2.init(_jax.random.PRNGKey(1))
+            ckpt2 = str(tmp_path / "m2.ckpt")
+            save_checkpoint(ckpt2, p2, s2, raw2)
+            cfg2_path = str(tmp_path / "config2.json")
+            with open(cfg2_path, "w") as f:
+                json.dump(raw2, f)
+            app3 = srv.make_app({
+                "models": [{"name": "plain", "config": cfg2_path,
+                            "checkpoint": ckpt2, "multi_speaker": False,
+                            "controllable": False, "num_voices": 1,
+                            "max_len": 12}],
+            }, mode="warm")
+            async with TestClient(
+                TestServer(app3), timeout=ClientTimeout(total=1200)
+            ) as client3:
+                r = await client3.post("/generate", json={
+                    "text": "plain model", "model": 0, "random_seed": 3,
+                    "vocoder": True, "pitch": 0.1, "pitch_range": 0.0,
+                    "intensity": 0.0, "nhr": 0.0, "rate": 0.0})
+                assert r.status == 200, await r.text()
+
+    asyncio.run(run())
+
+
 def test_vocode_bucket_invariance_and_rf():
     """The serving path pads each row's mel to a 128-frame bucket sized
     with the generator's mel-domain receptive field: with that margin, a
