@@ -40,18 +40,43 @@ FRAMES_PER_SEC_AUDIO = 22050 / 256  # 86.13 (BASELINE.md audio frame math)
 TARGET_RTF = 0.05
 
 
-def _timed(comp, args, iters):
-    """Median wall time with an HONEST fence: on some transports (the axon
-    tunnel) block_until_ready returns before execution, so the jitted fn
-    returns scalars and we fetch them."""
-    ts = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        s, n = comp(*args, jax.random.PRNGKey(i))
-        float(s)  # device->host scalar fetch fences the computation
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[len(ts) // 2]
+def _timed_once(comp, args, i):
+    """Wall time of one call with an HONEST fence: on some transports (the
+    axon tunnel) block_until_ready returns before execution, so the jitted
+    fn returns scalars and we fetch them."""
+    t0 = time.perf_counter()
+    s, n = comp(*args, jax.random.PRNGKey(i))
+    float(s)  # device->host scalar fetch fences the computation
+    return time.perf_counter() - t0
+
+
+def _slope(comp_a, comp_b, args, rounds, reps, dn):
+    """Per-step time via INTERLEAVED A/B slope rounds.
+
+    The tunnel's fixed transport latency DRIFTS on a seconds timescale;
+    timing all A iters then all B iters bakes that drift into the slope
+    (observed: 5.3-15.0 µs/step across bench runs whose true value is
+    ~9-12). Each round times the two workload sizes back-to-back
+    (median of ``reps`` each, order alternating round-to-round to cancel
+    any monotone trend) and yields its own slope; the MEDIAN over rounds
+    is robust to a latency step mid-benchmark. Same fix as the vocoder
+    bench's ABAB protocol (tools/vocoder_poly_bench.py)."""
+
+    def med(comp, base):
+        ts = sorted(_timed_once(comp, args, base + i) for i in range(reps))
+        return ts[len(ts) // 2]
+
+    slopes = []
+    for r in range(rounds):
+        if r % 2 == 0:
+            ta = med(comp_a, 2 * r * reps)
+            tb = med(comp_b, (2 * r + 1) * reps)
+        else:
+            tb = med(comp_b, 2 * r * reps)
+            ta = med(comp_a, (2 * r + 1) * reps)
+        slopes.append((tb - ta) / dn)
+    slopes.sort()
+    return max(slopes[len(slopes) // 2], 1e-9)
 
 
 def _require_backend(timeout_s: float):
@@ -121,9 +146,15 @@ def main():
         assert int(n) == ml, f"decode stopped early at {int(n)}"
 
     args = (params, state, chars, lens)
-    t_a = _timed(comps[len_a], args, iters)
-    t_b = _timed(comps[len_b], args, iters)
-    sec_per_step = max((t_b - t_a) / (len_b - len_a), 1e-9)
+    # warm both executables once more before timing (first fetch after
+    # compile can carry cache-load / allocation one-offs)
+    _timed_once(comps[len_a], args, 0)
+    _timed_once(comps[len_b], args, 0)
+    sec_per_step = _slope(
+        comps[len_a], comps[len_b], args,
+        rounds=int(os.environ.get("BENCH_ROUNDS", "7")), reps=iters,
+        dn=len_b - len_a,
+    )
 
     frames_per_sec = batch / sec_per_step
     rtf = sec_per_step * FRAMES_PER_SEC_AUDIO / batch
@@ -151,8 +182,8 @@ def main():
     )
     print(
         f"# say RTF {rtf:.4f} (target < {TARGET_RTF}), batch={batch}, "
-        f"{sec_per_step * 1e6:.1f} us/step (slope over {len_a}->{len_b} frames, "
-        f"median of {iters}), device={jax.devices()[0].device_kind}, "
+        f"{sec_per_step * 1e6:.1f} us/step (median slope over {len_a}->{len_b} "
+        f"frames, interleaved rounds), device={jax.devices()[0].device_kind}, "
         f"{tf:.1f} TF/s = {100 * frac:.1f}% of {peak:.0f} "
         f"{'TOP/s int8' if use_int8 else 'TFLOP/s bf16'} peak",
         file=sys.stderr,
