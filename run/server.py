@@ -25,6 +25,14 @@ The model registry comes from the server config JSON (``models`` key with
 the reference registry's fields: name, config, checkpoint,
 hifi_gan_checkpoint, multi_speaker, controllable, num_voices) instead of
 being hard-coded in source (run/server.py:11-112).
+
+Multi-chip serving: ``mesh: {"data": N}`` in the server config decodes
+each micro-batch data-sharded across N devices (batch buckets round up
+to a multiple of N; the fused Pallas kernel runs per shard via
+jax.shard_map, the XLA fallback partitions via GSPMD from the committed
+input shardings). Audio stays batch- and shard-invariant — per-row PRNG
+streams and row-independent kernel rows, same contract as single-chip
+micro-batching.
 """
 
 from __future__ import annotations
@@ -54,10 +62,35 @@ _DECODE_JIT: Dict[tuple, Any] = {}
 
 
 class ModelRegistry:
-    def __init__(self, entries: List[Dict[str, Any]], warm: bool = True):
+    def __init__(self, entries: List[Dict[str, Any]], warm: bool = True,
+                 mesh_spec: Optional[Dict[str, Any]] = None):
         self.entries = entries
         self.warm = warm
         self._loaded: Dict[int, Any] = {}
+        self._mesh_spec = mesh_spec
+        self._mesh = None
+
+    @property
+    def mesh(self):
+        """Multi-chip serving mesh (server config ``mesh: {"data": N}``):
+        micro-batches decode data-sharded across N devices — the fused
+        Pallas kernel per shard via jax.shard_map, the XLA while_loop via
+        GSPMD (forward_infer_fast routes either way). Built lazily so
+        subprocess mode / meshless servers never touch the backend."""
+        if self._mesh is None and self._mesh_spec:
+            import jax
+            import numpy as np
+
+            ndev = int(self._mesh_spec.get("data", 1))
+            if ndev > 1:
+                devs = jax.devices()
+                if ndev > len(devs):
+                    raise ValueError(
+                        f"server mesh wants data={ndev} devices, "
+                        f"only {len(devs)} available")
+                self._mesh = jax.sharding.Mesh(
+                    np.array(devs[:ndev]), ("data",))
+        return self._mesh
 
     def describe(self) -> List[Dict[str, Any]]:
         return [
@@ -86,7 +119,8 @@ class ModelRegistry:
         packed = None
         if entry.get("quantize_int8"):
             packed = model.make_packed_decoder(params, quantize=True)
-        bundle = (cfg, model, params, model_state, hifigan, hifi_params, entry, packed)
+        bundle = (cfg, model, params, model_state, hifigan, hifi_params, entry,
+                  packed, self.mesh)
         if self.warm:
             self._loaded[idx] = bundle
         return bundle
@@ -152,7 +186,8 @@ def _synthesize_batch(bundle, reqs: List[Dict[str, Any]]) -> List[str]:
 
     BATCH_CALLS[0] += 1
     BATCH_CALLS[1] += len(reqs)
-    cfg, model, params, model_state, hifigan, hifi_params, entry, packed = bundle
+    (cfg, model, params, model_state, hifigan, hifi_params, entry, packed,
+     mesh) = bundle
     prep = cfg.dataset.preprocessing
     encoder = CharEncoder(prep.allowed_chars, prep.end_token)
     norms = [
@@ -163,10 +198,16 @@ def _synthesize_batch(bundle, reqs: List[Dict[str, Any]]) -> List[str]:
     B, L = chars.shape
     Lb = max(128, -(-L // 128) * 128)
     chars = np.pad(chars, ((0, 0), (0, Lb - L)))
-    # pad the batch to a power-of-two row bucket by replicating row 0
+    # pad the batch to a power-of-two row bucket by replicating row 0;
+    # a serving mesh additionally rounds up to a multiple of the data
+    # axis so every shard gets equal rows (forward_infer_fast requires
+    # divisibility to shard the fused kernel)
     Bb = 1
     while Bb < B:
         Bb *= 2
+    ndev = mesh.shape["data"] if mesh is not None else 1
+    if ndev > 1:
+        Bb = -(-max(Bb, ndev) // ndev) * ndev
     def _bucket(a):
         return np.concatenate([a, np.repeat(a[:1], Bb - B, axis=0)], axis=0) \
             if Bb > B else a
@@ -194,11 +235,12 @@ def _synthesize_batch(bundle, reqs: List[Dict[str, Any]]) -> List[str]:
         [r["seed"] if r.get("seed") is not None else 0 for r in reqs]
     )))
     sig = (id(model), chars.shape, max_len, packed is not None,
-           tuple(sorted(kwargs)))
+           tuple(sorted(kwargs)), ndev)
     fn = _DECODE_JIT.get(sig)
     if fn is None:
         def fn(params_, state_, chars_, lens_, row_keys_, packed_, kw):
-            common = dict(rng=row_keys_[0], row_rngs=row_keys_, **kw)
+            common = dict(rng=row_keys_[0], row_rngs=row_keys_,
+                          shard_mesh=mesh, **kw)
             if packed_ is not None:
                 # fused int8 fast path over the load-time-packed decoder
                 return model.forward_infer_fused(
@@ -211,8 +253,20 @@ def _synthesize_batch(bundle, reqs: List[Dict[str, Any]]) -> List[str]:
 
         fn = jax.jit(fn)
         _DECODE_JIT[sig] = fn
-    out = fn(params, model_state, jnp.asarray(chars), jnp.asarray(lens),
-             row_keys, packed, kwargs)
+    chars_d, lens_d = jnp.asarray(chars), jnp.asarray(lens)
+    if ndev > 1:
+        # commit the batch arrays row-sharded so BOTH dispatch targets
+        # really distribute: the fused kernel shard_maps over the mesh
+        # internally; the XLA while_loop fallback partitions via GSPMD
+        # from these input shardings
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        row_sh = NamedSharding(mesh, PS("data"))
+        chars_d = jax.device_put(chars_d, row_sh)
+        lens_d = jax.device_put(lens_d, row_sh)
+        row_keys = jax.device_put(row_keys, row_sh)
+        kwargs = {k: jax.device_put(v, row_sh) for k, v in kwargs.items()}
+    out = fn(params, model_state, chars_d, lens_d, row_keys, packed, kwargs)
     # one combined fetch (device_get issues async copies for both buffers
     # before blocking -> one tunnel round-trip latency, not two)
     n, gates = jax.device_get((out.n_frames, out.gates))
@@ -297,6 +351,7 @@ class MicroBatcher:
         self.window = max(window_ms, 0.0) / 1000.0
         self.max_batch = max(int(max_batch), 1)
         self._queues: Dict[int, asyncio.Queue] = {}
+        self._workers: Dict[int, asyncio.Task] = {}
 
     async def submit(self, model_idx: int, req: Dict[str, Any]) -> str:
         loop = asyncio.get_event_loop()
@@ -305,9 +360,24 @@ class MicroBatcher:
         if q is None:
             q = asyncio.Queue()
             self._queues[model_idx] = q
-            asyncio.ensure_future(self._worker(model_idx, q))
+            self._workers[model_idx] = asyncio.ensure_future(
+                self._worker(model_idx, q))
         await q.put((req, fut))
         return await fut
+
+    async def close(self):
+        """Cancel the per-model worker tasks (aiohttp on_cleanup): a
+        destroyed-pending-task warning at loop close is harmless in tests
+        but noise in production shutdowns."""
+        for t in self._workers.values():
+            t.cancel()
+        for t in self._workers.values():
+            try:
+                await t
+            except (asyncio.CancelledError, Exception):
+                pass
+        self._workers.clear()
+        self._queues.clear()
 
     async def _worker(self, model_idx: int, q: asyncio.Queue):
         loop = asyncio.get_event_loop()
@@ -384,7 +454,9 @@ def warmup_models(registry: ModelRegistry) -> None:
 
 def make_app(server_config: Dict[str, Any], mode: str = "warm") -> web.Application:
     os.makedirs(GENERATED_DIR, exist_ok=True)
-    registry = ModelRegistry(server_config.get("models", []), warm=(mode == "warm"))
+    registry = ModelRegistry(server_config.get("models", []),
+                             warm=(mode == "warm"),
+                             mesh_spec=server_config.get("mesh"))
     if mode == "warm" and server_config.get("warmup"):
         warmup_models(registry)
     bcfg = server_config.get("batching", {})
@@ -501,6 +573,11 @@ def make_app(server_config: Dict[str, Any], mode: str = "warm") -> web.Applicati
             web.static(f"/{GENERATED_DIR}", GENERATED_DIR),
         ]
     )
+    if batcher is not None:
+        async def _close_batcher(app):
+            await batcher.close()
+
+        app.on_cleanup.append(_close_batcher)
     return app
 
 

@@ -445,6 +445,67 @@ def test_server_text_reaches_synthesis_unescaped(tiny_server_setup, tmp_path,
     assert captured == [raw]
 
 
+def test_server_mesh_sharded_decode(tiny_server_setup, tmp_path, monkeypatch):
+    """Multi-chip serving (server config mesh {"data": N}): concurrent
+    requests coalesce into ONE decode whose batch is row-sharded across
+    the mesh (bucket rounds up to a multiple of N), and each request's
+    audio still matches its own solo run — sharding, like batching, is
+    pure throughput. Runs on the suite's virtual 8-CPU-device backend."""
+    import asyncio
+    import copy
+
+    import jax
+
+    assert len(jax.devices()) >= 2  # conftest forces 8 virtual devices
+
+    monkeypatch.chdir(tmp_path)
+    server_config = copy.deepcopy(tiny_server_setup)
+    server_config["batching"] = {"window_ms": 500, "max_batch": 8}
+    server_config["mesh"] = {"data": 2}
+
+    async def run():
+        from aiohttp import ClientTimeout
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from run import server as srv
+        from tacotron2_tpu.audio.io import read_wav
+
+        app = srv.make_app(server_config, mode="warm")
+        async with TestClient(
+            TestServer(app), timeout=ClientTimeout(total=1200)
+        ) as client:
+            r = await client.post(
+                "/generate", json={"text": "warm up", "model": 0, "seed": 1}
+            )
+            assert r.status == 200, await r.text()
+
+            texts = [("shard the first", 5), ("and the second", 6),
+                     ("plus a third", 7)]
+            calls0 = srv.BATCH_CALLS[0]
+            rs = await asyncio.gather(*[
+                client.post("/generate",
+                            json={"text": t, "model": 0, "seed": s})
+                for t, s in texts
+            ])
+            batched_paths = []
+            for r in rs:
+                assert r.status == 200, await r.text()
+                batched_paths.append((await r.json())["path"])
+            assert srv.BATCH_CALLS[0] - calls0 == 1, "did not coalesce"
+
+            for (t, s), bp in zip(texts, batched_paths):
+                r = await client.post(
+                    "/generate", json={"text": t, "model": 0, "seed": s}
+                )
+                sp = (await r.json())["path"]
+                wav_b, _ = read_wav(bp)
+                wav_s, _ = read_wav(sp)
+                assert wav_b.shape == wav_s.shape
+                np.testing.assert_allclose(wav_b, wav_s, atol=1e-3, rtol=0)
+
+    asyncio.run(run())
+
+
 def test_server_reference_client_schema(tmp_path, monkeypatch):
     """A stock reference client works unchanged: the reference UI posts
     {model, text, random_seed, speaker, vocoder, <one named field per

@@ -75,7 +75,7 @@ def build_bundle(max_len: int):
     voc = HiFiGAN(HiFiGANConfig(), Policy.from_string("bf16-mixed"))
     voc_params = voc.init(jax.random.PRNGKey(1))
     entry = {"name": "srvbench", "max_len": max_len}
-    return (cfg, model, params, state, voc, voc_params, entry, None)
+    return (cfg, model, params, state, voc, voc_params, entry, None, None)
 
 
 def main():
