@@ -288,6 +288,7 @@ def do_train(
 
     trace_ctx = device_trace(os.environ.get("TACOTRON2_TRACE_DIR"))
     trace_ctx.__enter__()
+    saver = ckpt_lib.AsyncSaver()
     step = int(ts.step)
     data_rng = jax.random.PRNGKey(seed + 1)
     t_last, frames_done = time.time(), 0
@@ -336,12 +337,17 @@ def do_train(
                     stopped = True
                     break
             if step % 5000 == 0:
-                ckpt_lib.save_checkpoint(
+                # async: snapshots the (immutable) trees by reference and
+                # gathers/writes in a background thread — the loop keeps
+                # stepping through the ~100 MB device→host fetch a sync
+                # save stalls on (training/checkpoint.py::AsyncSaver)
+                saver.save(
                     path.join(results_dir, "last.ckpt"), ts.params, ts.model_state,
                     raw_config, opt_state=ts.opt_state, step=step,
                 )
 
     trace_ctx.__exit__(None, None, None)
+    saver.wait()  # serialize against an in-flight periodic save
     run_validation(step)
     final_name = "finetuned.ckpt" if finetune else "final.ckpt"
     out = ckpt_lib.save_checkpoint(

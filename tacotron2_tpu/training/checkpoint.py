@@ -64,6 +64,49 @@ def save_checkpoint(
     return ckpt_dir
 
 
+class AsyncSaver:
+    """Non-blocking periodic checkpointing for the train loop.
+
+    ``save(...)`` snapshots the pytrees BY REFERENCE (jax arrays are
+    immutable — the optimizer step builds new trees, it never mutates
+    these) and runs the device→host gather + Orbax write in a background
+    thread, so training keeps stepping during the ~100 MB fetch that a
+    synchronous periodic save stalls on (several seconds through the
+    tunnel every 5000 steps). Saves serialize: a new ``save`` first joins
+    the previous one (at a 45 ms/step cadence the previous save is long
+    done), and ``wait()`` must be called before the final synchronous
+    save. Errors surface on the NEXT save/wait rather than being lost.
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._error = None
+
+    def save(self, ckpt_dir: str, params, model_state, config_dict=None,
+             opt_state=None, step=None):
+        import threading
+
+        self.wait()
+
+        def run():
+            try:
+                save_checkpoint(ckpt_dir, params, model_state, config_dict,
+                                opt_state=opt_state, step=step)
+            except Exception as exc:  # re-raised from the train loop thread
+                self._error = exc
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+
 def _restore_numpy(item_path: str):
     """Restore a pytree saved by save_checkpoint (host numpy — topology-free;
     device placement is the caller's job)."""

@@ -206,6 +206,49 @@ def test_resume_rejects_mismatched_opt_state(tmp_path):
         ckpt_lib.load_train(d, opt_b)
 
 
+def test_async_saver_roundtrip_and_error_propagation(tmp_path):
+    """AsyncSaver (run/train.py's periodic last.ckpt path): the background
+    save must produce a checkpoint bit-identical to the synchronous one —
+    including when the train loop immediately replaces its param tree
+    (jax arrays are immutable; the snapshot is by reference) — saves must
+    serialize, and a failed background save must raise on the next
+    wait/save instead of disappearing."""
+    from tacotron2_tpu.training import checkpoint as ckpt_lib
+
+    tx, _ = make_optimizer(1e-3, 0.0)
+    params = {"w": jnp.arange(16.0).reshape(4, 4), "b": jnp.ones((4,))}
+    opt = tx.init(params)
+
+    saver = ckpt_lib.AsyncSaver()
+    d_async = str(tmp_path / "async.ckpt")
+    saver.save(d_async, params, {}, {"k": 1}, opt_state=opt, step=3)
+    # simulate the loop moving on: rebind to a new tree mid-save
+    params = jax.tree.map(lambda x: x * 0.0, params)
+    saver.wait()
+
+    d_sync = str(tmp_path / "sync.ckpt")
+    ckpt_lib.save_checkpoint(
+        d_sync, {"w": jnp.arange(16.0).reshape(4, 4), "b": jnp.ones((4,))},
+        {}, {"k": 1}, opt_state=opt, step=3)
+    pa, _, ca = ckpt_lib.load_model(d_async)
+    ps, _, cs = ckpt_lib.load_model(d_sync)
+    assert ca == cs == {"k": 1}
+    jax.tree.map(np.testing.assert_array_equal, pa, ps)
+    oa, sa = ckpt_lib.load_train(d_async, opt)
+    os_, ss = ckpt_lib.load_train(d_sync, opt)
+    assert sa == ss == 3
+    jax.tree.map(np.testing.assert_array_equal, oa, os_)
+
+    # error propagation: unwritable path fails on the NEXT wait
+    saver.save("/proc/definitely/not/writable.ckpt", pa, {}, None)
+    with pytest.raises(Exception):
+        saver.wait()
+    # the saver recovers after surfacing the error
+    saver.save(str(tmp_path / "again.ckpt"), pa, {})
+    saver.wait()
+    assert ckpt_lib.load_model(str(tmp_path / "again.ckpt"))[0] is not None
+
+
 def test_precast_bf16_training_equivalence():
     """bf16-policy training pre-casts the decoder weights outside the scan
     (halves the streamed bytes; the dW accumulator becomes bf16 — PERF.md).
