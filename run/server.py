@@ -473,7 +473,42 @@ def make_app(server_config: Dict[str, Any], mode: str = "warm") -> web.Applicati
     async def config(request):
         return web.json_response(registry.describe())
 
+    import time as _time
+
+    started = _time.time()
+    req_count = [0, 0]  # [accepted, failed]
+
+    async def stats(request):
+        """Operational telemetry (beyond-reference): request counts, the
+        decode-launch/row counters behind the micro-batching speedup
+        (rows/launch ≈ achieved batching factor), and what is loaded."""
+        calls, rows = BATCH_CALLS
+        return web.json_response({
+            "uptime_s": round(_time.time() - started, 1),
+            "mode": mode,
+            "requests": {"ok": req_count[0], "failed": req_count[1]},
+            "batching": None if batcher is None else {
+                "window_ms": batcher.window * 1000.0,
+                "max_batch": batcher.max_batch,
+                "decode_launches": calls,
+                "decoded_rows": rows,
+                "rows_per_launch": round(rows / calls, 2) if calls else None,
+            },
+            "mesh_devices": (registry.mesh.size
+                             if registry.mesh is not None else 1),
+            "models_loaded": sorted(registry._loaded.keys()),
+        })
+
     async def generate(request):
+        try:
+            resp = await _generate(request)
+        except Exception:
+            req_count[1] += 1
+            raise
+        req_count[0 if resp.status == 200 else 1] += 1
+        return resp
+
+    async def _generate(request):
         data = await request.json()
         req_id = str(uuid.uuid4())
         # request metadata dump (run/server.py:136-141)
@@ -569,6 +604,7 @@ def make_app(server_config: Dict[str, Any], mode: str = "warm") -> web.Applicati
         [
             web.get("/", index),
             web.get("/config", config),
+            web.get("/stats", stats),
             web.post("/generate", generate),
             web.static(f"/{GENERATED_DIR}", GENERATED_DIR),
         ]

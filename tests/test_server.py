@@ -141,6 +141,17 @@ async def _run_server_checks(server_config):
         assert data[:4] == b"RIFF"
         # request metadata dump exists (run/server.py:136-141)
         assert os.path.exists(body["path"].replace(".wav", ".json"))
+        # operational telemetry (beyond-reference)
+        resp = await client.get("/stats")
+        st = await resp.json()
+        assert st["requests"]["ok"] == 1 and st["requests"]["failed"] == 0
+        assert st["batching"]["decoded_rows"] >= 1
+        assert st["models_loaded"] == [0] and st["mesh_devices"] == 1
+        # a validation failure counts as failed
+        resp = await client.post("/generate", json={"text": "x", "model": 9})
+        assert resp.status == 400
+        st = await (await client.get("/stats")).json()
+        assert st["requests"]["failed"] == 1
 
 
 def test_server_warm_fused_int8_packs_once(tiny_server_setup, tmp_path, monkeypatch):
