@@ -366,9 +366,11 @@ class MicroBatcher:
         return await fut
 
     async def close(self):
-        """Cancel the per-model worker tasks (aiohttp on_cleanup): a
-        destroyed-pending-task warning at loop close is harmless in tests
-        but noise in production shutdowns."""
+        """Cancel the per-model worker tasks (aiohttp on_cleanup) and
+        FAIL every unresolved request future — the in-flight batch's (the
+        worker's CancelledError clause) and anything still queued — so no
+        /generate handler hangs through shutdown waiting on a future
+        nobody will resolve."""
         for t in self._workers.values():
             t.cancel()
         for t in self._workers.values():
@@ -376,6 +378,15 @@ class MicroBatcher:
                 await t
             except (asyncio.CancelledError, Exception):
                 pass
+        err = RuntimeError("server shutting down")
+        for q in self._queues.values():
+            while True:
+                try:
+                    _, fut = q.get_nowait()
+                except asyncio.QueueEmpty:
+                    break
+                if not fut.done():
+                    fut.set_exception(err)
         self._workers.clear()
         self._queues.clear()
 
@@ -418,6 +429,15 @@ class MicroBatcher:
                 for (_, fut), p in zip(good, paths):
                     if not fut.done():
                         fut.set_result(p)
+            except asyncio.CancelledError:
+                # shutdown (close() cancels workers): the in-flight
+                # batch's waiters must not hang on never-resolved futures
+                # — CancelledError bypasses the Exception clause below
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(
+                            RuntimeError("server shutting down"))
+                raise
             except Exception as exc:  # propagate to every waiter
                 for _, fut in batch:
                     if not fut.done():
@@ -494,8 +514,13 @@ def make_app(server_config: Dict[str, Any], mode: str = "warm") -> web.Applicati
                 "decoded_rows": rows,
                 "rows_per_launch": round(rows / calls, 2) if calls else None,
             },
-            "mesh_devices": (registry.mesh.size
-                             if registry.mesh is not None else 1),
+            # read the BUILT mesh only — the property is lazy precisely
+            # so meshless/subprocess servers never touch the backend, and
+            # a read-only stats probe must not be the thing that does
+            # (tunnel-down backend init hangs ~15 min)
+            "mesh_devices": (registry._mesh.size
+                             if registry._mesh is not None else 1),
+            "mesh_configured": registry._mesh_spec or None,
             "models_loaded": sorted(registry._loaded.keys()),
         })
 
@@ -523,7 +548,13 @@ def make_app(server_config: Dict[str, Any], mode: str = "warm") -> web.Applicati
         # "don&#x27;t" -> "donx27t" after char filtering). normalize_text
         # drops disallowed characters anyway.
         text = data.get("text", "")
-        model_idx = int(data.get("model", 0))
+        try:
+            model_idx = int(data.get("model", 0) or 0)  # null/"" -> 0
+        except (TypeError, ValueError):
+            return web.json_response(
+                {"error": f"model must be an integer index, "
+                          f"got {data.get('model')!r}"},
+                status=400)
         if not 0 <= model_idx < len(registry.entries):
             # request validation: the client's error, not a worker 500
             return web.json_response(

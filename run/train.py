@@ -296,58 +296,63 @@ def do_train(
           f"max_steps {max_steps}, batch {batch_size}, mesh {dict(mesh.shape)}")
     stop_threshold = cfg.training.stopping_val_loss_threshold
     stopped = False
-    while step < max_steps and not stopped:
-        for batch in train_loader:
-            if step >= max_steps:
-                break
-            device_batch = shard_batch(
-                {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}, mesh
-            )
-            step_fn = (
-                train_step_style
-                if prosody_after is not None and step >= prosody_after
-                else train_step
-            )
-            ts, metrics = step_fn(ts, device_batch, data_rng)
-            # honest throughput: REAL frames (sum of mel lengths), not the
-            # bucketed padded shape — keeps the TB counter consistent with
-            # the slope-timed PERF.md numbers
-            frames_done += int(np.sum(batch["mel_len"]))
-            step += 1
-            if step % log_every == 0 or step == 1:
-                m = {f"training_{k}": float(v) for k, v in metrics.items() if k != "loss"}
-                m["training_loss"] = float(metrics["loss"])
-                m["lr"] = float(schedule(step))
-                dt = time.time() - t_last
-                m["mel_frames_per_sec"] = frames_done / max(dt, 1e-9)
-                t_last, frames_done = time.time(), 0
-                logger.scalars(m, step)
-                print(f"step {step}: loss {m['training_loss']:.4f} "
-                      f"({m['mel_frames_per_sec']:.0f} frames/s)")
-            if step % 1000 == 0:  # histograms (model/tts_model.py:289-292)
-                logger.histograms(ts.params, step)
-            if step % val_every == 0:
-                val_loss = run_validation(step)
-                # stopping_val_loss_threshold: config key present in every
-                # reference config (always null there; EarlyStopping was
-                # imported but never wired, run/train.py:19) — live here
-                if (stop_threshold is not None and val_loss is not None
-                        and val_loss <= stop_threshold):
-                    print(f"early stop: val_loss {val_loss:.4f} <= {stop_threshold}")
-                    stopped = True
+    try:
+        while step < max_steps and not stopped:
+            for batch in train_loader:
+                if step >= max_steps:
                     break
-            if step % 5000 == 0:
-                # async: snapshots the (immutable) trees by reference and
-                # gathers/writes in a background thread — the loop keeps
-                # stepping through the ~100 MB device→host fetch a sync
-                # save stalls on (training/checkpoint.py::AsyncSaver)
-                saver.save(
-                    path.join(results_dir, "last.ckpt"), ts.params, ts.model_state,
-                    raw_config, opt_state=ts.opt_state, step=step,
+                device_batch = shard_batch(
+                    {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}, mesh
                 )
+                step_fn = (
+                    train_step_style
+                    if prosody_after is not None and step >= prosody_after
+                    else train_step
+                )
+                ts, metrics = step_fn(ts, device_batch, data_rng)
+                # honest throughput: REAL frames (sum of mel lengths), not the
+                # bucketed padded shape — keeps the TB counter consistent with
+                # the slope-timed PERF.md numbers
+                frames_done += int(np.sum(batch["mel_len"]))
+                step += 1
+                if step % log_every == 0 or step == 1:
+                    m = {f"training_{k}": float(v) for k, v in metrics.items() if k != "loss"}
+                    m["training_loss"] = float(metrics["loss"])
+                    m["lr"] = float(schedule(step))
+                    dt = time.time() - t_last
+                    m["mel_frames_per_sec"] = frames_done / max(dt, 1e-9)
+                    t_last, frames_done = time.time(), 0
+                    logger.scalars(m, step)
+                    print(f"step {step}: loss {m['training_loss']:.4f} "
+                          f"({m['mel_frames_per_sec']:.0f} frames/s)")
+                if step % 1000 == 0:  # histograms (model/tts_model.py:289-292)
+                    logger.histograms(ts.params, step)
+                if step % val_every == 0:
+                    val_loss = run_validation(step)
+                    # stopping_val_loss_threshold: config key present in every
+                    # reference config (always null there; EarlyStopping was
+                    # imported but never wired, run/train.py:19) — live here
+                    if (stop_threshold is not None and val_loss is not None
+                            and val_loss <= stop_threshold):
+                        print(f"early stop: val_loss {val_loss:.4f} <= {stop_threshold}")
+                        stopped = True
+                        break
+                if step % 5000 == 0:
+                    # async: snapshots the (immutable) trees by reference and
+                    # gathers/writes in a background thread — the loop keeps
+                    # stepping through the ~100 MB device→host fetch a sync
+                    # save stalls on (training/checkpoint.py::AsyncSaver)
+                    saver.save(
+                        path.join(results_dir, "last.ckpt"), ts.params, ts.model_state,
+                        raw_config, opt_state=ts.opt_state, step=step,
+                    )
 
-    trace_ctx.__exit__(None, None, None)
-    saver.wait()  # serialize against an in-flight periodic save
+    finally:
+        trace_ctx.__exit__(None, None, None)
+        # join the in-flight periodic save on BOTH paths — the
+        # non-daemon thread would finish anyway, but a prompt join
+        # surfaces its errors before the final synchronous save
+        saver.wait()
     run_validation(step)
     final_name = "finetuned.ckpt" if finetune else "final.ckpt"
     out = ckpt_lib.save_checkpoint(

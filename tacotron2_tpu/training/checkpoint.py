@@ -76,6 +76,14 @@ class AsyncSaver:
     the previous one (at a 45 ms/step cadence the previous save is long
     done), and ``wait()`` must be called before the final synchronous
     save. Errors surface on the NEXT save/wait rather than being lost.
+
+    The thread is deliberately NON-daemon: Orbax's ``force=True``
+    removes the existing ``last.ckpt`` before finalizing the new one, so
+    an interpreter exit mid-save (train loop raised, Ctrl-C) must let
+    the in-flight save FINISH — a daemon thread would be killed between
+    the delete and the finalize, destroying the one checkpoint an
+    interrupted run needs for resume. The driver also wait()s in a
+    finally block so the error path still joins promptly.
     """
 
     def __init__(self):
@@ -95,7 +103,7 @@ class AsyncSaver:
             except Exception as exc:  # re-raised from the train loop thread
                 self._error = exc
 
-        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread = threading.Thread(target=run, daemon=False)
         self._thread.start()
 
     def wait(self):

@@ -451,9 +451,20 @@ def test_server_text_reaches_synthesis_unescaped(tiny_server_setup, tmp_path,
             )
             assert bad.status == 400
             assert "model index" in (await bad.json())["error"]
+            # so is a non-integer model field (and null coerces to 0)
+            bad = await client.post(
+                "/generate", json={"text": "x", "model": "nope"}
+            )
+            assert bad.status == 400
+            assert "integer" in (await bad.json())["error"]
+            ok = await client.post(
+                "/generate", json={"text": "null model", "model": None,
+                                   "seed": 4}
+            )
+            assert ok.status == 200
 
     asyncio.run(run())
-    assert captured == [raw]
+    assert captured == [raw, "null model"]
 
 
 def test_server_mesh_sharded_decode(tiny_server_setup, tmp_path, monkeypatch):

@@ -62,7 +62,8 @@ def main():
     from tacotron2_tpu.text.encoder import CharEncoder
 
     bundle = build_bundle(max_len)
-    cfg, model, params, model_state, hifigan, hifi_params, entry, packed = bundle
+    (cfg, model, params, model_state, hifigan, hifi_params, entry, packed,
+     _mesh) = bundle
     prep = cfg.dataset.preprocessing
     outdir = "/tmp/server_probe"
     os.makedirs(outdir, exist_ok=True)
