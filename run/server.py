@@ -139,10 +139,19 @@ def _validate_request(cfg, req: Dict[str, Any]) -> None:
             f"model has controls enabled: a {dim}-dim 'controls' vector is "
             "required (the UI's neutral position is all zeros)"
         )
+    if dim and not isinstance(controls, (list, tuple)):
+        raise ValueError(f"'controls' must be a list, got {type(controls).__name__}")
     if dim and len(controls) != dim:
         raise ValueError(
             f"'controls' must have {dim} entries, got {len(controls)}"
         )
+    if dim:
+        try:  # coerce HERE: a non-numeric entry must fail THIS request
+            # with a 400, not blow up np.asarray inside the batched
+            # synthesis and 500 every co-batched request
+            req["controls"] = [float(c) for c in controls]
+        except (TypeError, ValueError):
+            raise ValueError(f"'controls' entries must be numbers, got {controls!r}")
     if not dim and controls:
         raise ValueError("model has controls disabled, but 'controls' passed")
     spk = cfg.extensions.speaker_tokens
@@ -565,10 +574,16 @@ def make_app(server_config: Dict[str, Any], mode: str = "warm") -> web.Applicati
         # names as aliases (web/index.html:190-201 posts random_seed /
         # speaker / vocoder / one named field per control slider, mapped
         # to say flags in run/server.py:149-174)
-        seed = data.get("seed", data.get("random_seed"))
-        seed = int(seed) if seed not in (None, "") else None
-        speaker_id = data.get("voice", data.get("speaker"))
-        speaker_id = int(speaker_id) if speaker_id not in (None, "") else None
+        try:
+            seed = data.get("seed", data.get("random_seed"))
+            seed = int(seed) if seed not in (None, "") else None
+            speaker_id = data.get("voice", data.get("speaker"))
+            speaker_id = int(speaker_id) if speaker_id not in (None, "") else None
+        except (TypeError, ValueError) as exc:
+            # a non-numeric seed/voice is the CLIENT's error: 400 with the
+            # reason, not an opaque 500 traceback page
+            return web.json_response(
+                {"error": f"seed/voice must be integers: {exc}"}, status=400)
         controls = data.get("controls")
         if controls is None and registry.entries[model_idx].get("controllable"):
             # the reference's server config carries a `controls` list of
@@ -581,7 +596,12 @@ def make_app(server_config: Dict[str, Any], mode: str = "warm") -> web.Applicati
                      for c in server_config.get("controls", [])] or [
                          "pitch", "pitch_range", "intensity", "nhr", "rate"]
             if any(n in data for n in names):
-                controls = [float(data.get(n, 0.0)) for n in names]
+                try:
+                    controls = [float(data.get(n) or 0.0) for n in names]
+                except (TypeError, ValueError) as exc:
+                    return web.json_response(
+                        {"error": f"control sliders must be numbers: {exc}"},
+                        status=400)
         use_vocoder = bool(data.get("use_vocoder", data.get("vocoder", True)))
         out_path = path.join(GENERATED_DIR, f"{req_id}.wav")
 

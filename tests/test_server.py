@@ -152,6 +152,45 @@ async def _run_server_checks(server_config):
         assert resp.status == 400
         st = await (await client.get("/stats")).json()
         assert st["requests"]["failed"] == 1
+        # malformed numeric fields are the CLIENT's error: 400 with a
+        # reason, not an opaque 500 traceback page
+        resp = await client.post(
+            "/generate", json={"text": "x", "model": 0, "seed": "abc"}
+        )
+        assert resp.status == 400
+        assert "seed" in (await resp.json())["error"]
+        resp = await client.post(
+            "/generate", json={"text": "x", "model": 0, "voice": "loud"}
+        )
+        assert resp.status == 400
+
+
+def test_validate_request_coerces_and_rejects_controls():
+    """_validate_request coerces controls entries to floats (a non-numeric
+    entry must 400 THIS request, not blow up np.asarray inside the batched
+    synthesis and 500 every co-batched request) and rejects malformed
+    shapes/types with ValueError (mapped to HTTP 400)."""
+    from types import SimpleNamespace
+
+    from run.server import _validate_request
+
+    cfg = SimpleNamespace(
+        controls_dim=2,
+        extensions=SimpleNamespace(
+            speaker_tokens=SimpleNamespace(active=False, num_speakers=1)
+        ),
+    )
+    req = {"controls": ["0.5", 1]}
+    _validate_request(cfg, req)
+    assert req["controls"] == [0.5, 1.0]  # coerced in place for the batch
+    for bad in (
+        {"controls": ["a", "b"]},  # non-numeric entries
+        {"controls": 3},           # not a list
+        {"controls": [1.0]},       # wrong dim
+        {},                        # missing while controls active
+    ):
+        with pytest.raises(ValueError):
+            _validate_request(cfg, dict(bad))
 
 
 def test_server_warm_fused_int8_packs_once(tiny_server_setup, tmp_path, monkeypatch):
