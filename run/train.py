@@ -31,10 +31,11 @@ from run.common import build_model, read_manifest
 from tacotron2_tpu.config import Config
 from tacotron2_tpu.data import TTSDataLoader, TTSDataset
 from tacotron2_tpu.parallel import (
+    DevicePrefetcher,
+    DirectStream,
     make_mesh_for_batch,
     place_params,
     place_replicated,
-    shard_batch,
 )
 from tacotron2_tpu.parallel import make_sharded_train_step
 from tacotron2_tpu.training import checkpoint as ckpt_lib
@@ -295,59 +296,68 @@ def do_train(
     print(f"train: {len(train_dataset)} utts, {steps_per_epoch} steps/epoch, "
           f"max_steps {max_steps}, batch {batch_size}, mesh {dict(mesh.shape)}")
     stop_threshold = cfg.training.stopping_val_loss_threshold
-    stopped = False
+    # Input staging (tools/train_loop_probe.py, tools/transfer_fence_probe.py
+    # on v5e/axon): the default is the DIRECT loop — host batch -> fast
+    # shard_batch (plain per-device puts; the NamedSharding device_put path
+    # costs +20 ms/step on the tunneled transport) -> dispatch. A
+    # background staging thread (DevicePrefetcher) measured NEUTRAL at
+    # best on this 1-core harness and a large NEGATIVE with few loader
+    # workers (83k vs 161k frames/s at num_workers=1) — every extra
+    # host thread steals GIL/CPU from the transport's own processing. On
+    # multi-core hosts the overlap is real; opt in via
+    # TACOTRON2_DEVICE_PREFETCH=1.
+    if os.environ.get("TACOTRON2_DEVICE_PREFETCH"):
+        stream = DevicePrefetcher(train_loader, mesh, depth=2)
+    else:
+        stream = DirectStream(train_loader, mesh)
     try:
-        while step < max_steps and not stopped:
-            for batch in train_loader:
-                if step >= max_steps:
+        for device_batch, batch in stream:
+            if step >= max_steps:
+                break
+            step_fn = (
+                train_step_style
+                if prosody_after is not None and step >= prosody_after
+                else train_step
+            )
+            ts, metrics = step_fn(ts, device_batch, data_rng)
+            # honest throughput: REAL frames (sum of mel lengths), not the
+            # bucketed padded shape — keeps the TB counter consistent with
+            # the slope-timed PERF.md numbers
+            frames_done += int(np.sum(batch["mel_len"]))
+            step += 1
+            if step % log_every == 0 or step == 1:
+                m = {f"training_{k}": float(v) for k, v in metrics.items() if k != "loss"}
+                m["training_loss"] = float(metrics["loss"])
+                m["lr"] = float(schedule(step))
+                dt = time.time() - t_last
+                m["mel_frames_per_sec"] = frames_done / max(dt, 1e-9)
+                t_last, frames_done = time.time(), 0
+                logger.scalars(m, step)
+                print(f"step {step}: loss {m['training_loss']:.4f} "
+                      f"({m['mel_frames_per_sec']:.0f} frames/s)")
+            if step % 1000 == 0:  # histograms (model/tts_model.py:289-292)
+                logger.histograms(ts.params, step)
+            if step % val_every == 0:
+                val_loss = run_validation(step)
+                # stopping_val_loss_threshold: config key present in every
+                # reference config (always null there; EarlyStopping was
+                # imported but never wired, run/train.py:19) — live here
+                if (stop_threshold is not None and val_loss is not None
+                        and val_loss <= stop_threshold):
+                    print(f"early stop: val_loss {val_loss:.4f} <= {stop_threshold}")
                     break
-                device_batch = shard_batch(
-                    {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}, mesh
+            if step % 5000 == 0:
+                # async: snapshots the (immutable) trees by reference and
+                # gathers/writes in a background thread — the loop keeps
+                # stepping through the ~100 MB device→host fetch a sync
+                # save stalls on (training/checkpoint.py::AsyncSaver)
+                saver.save(
+                    path.join(results_dir, "last.ckpt"), ts.params, ts.model_state,
+                    raw_config, opt_state=ts.opt_state, step=step,
                 )
-                step_fn = (
-                    train_step_style
-                    if prosody_after is not None and step >= prosody_after
-                    else train_step
-                )
-                ts, metrics = step_fn(ts, device_batch, data_rng)
-                # honest throughput: REAL frames (sum of mel lengths), not the
-                # bucketed padded shape — keeps the TB counter consistent with
-                # the slope-timed PERF.md numbers
-                frames_done += int(np.sum(batch["mel_len"]))
-                step += 1
-                if step % log_every == 0 or step == 1:
-                    m = {f"training_{k}": float(v) for k, v in metrics.items() if k != "loss"}
-                    m["training_loss"] = float(metrics["loss"])
-                    m["lr"] = float(schedule(step))
-                    dt = time.time() - t_last
-                    m["mel_frames_per_sec"] = frames_done / max(dt, 1e-9)
-                    t_last, frames_done = time.time(), 0
-                    logger.scalars(m, step)
-                    print(f"step {step}: loss {m['training_loss']:.4f} "
-                          f"({m['mel_frames_per_sec']:.0f} frames/s)")
-                if step % 1000 == 0:  # histograms (model/tts_model.py:289-292)
-                    logger.histograms(ts.params, step)
-                if step % val_every == 0:
-                    val_loss = run_validation(step)
-                    # stopping_val_loss_threshold: config key present in every
-                    # reference config (always null there; EarlyStopping was
-                    # imported but never wired, run/train.py:19) — live here
-                    if (stop_threshold is not None and val_loss is not None
-                            and val_loss <= stop_threshold):
-                        print(f"early stop: val_loss {val_loss:.4f} <= {stop_threshold}")
-                        stopped = True
-                        break
-                if step % 5000 == 0:
-                    # async: snapshots the (immutable) trees by reference and
-                    # gathers/writes in a background thread — the loop keeps
-                    # stepping through the ~100 MB device→host fetch a sync
-                    # save stalls on (training/checkpoint.py::AsyncSaver)
-                    saver.save(
-                        path.join(results_dir, "last.ckpt"), ts.params, ts.model_state,
-                        raw_config, opt_state=ts.opt_state, step=step,
-                    )
 
     finally:
+        stream.close()
         trace_ctx.__exit__(None, None, None)
         # join the in-flight periodic save on BOTH paths — the
         # non-daemon thread would finish anyway, but a prompt join

@@ -1,3 +1,4 @@
+from tacotron2_tpu.parallel.prefetch import DevicePrefetcher, DirectStream
 from tacotron2_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -11,6 +12,8 @@ from tacotron2_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "DevicePrefetcher",
+    "DirectStream",
     "make_mesh",
     "make_mesh_for_batch",
     "batch_sharding",
