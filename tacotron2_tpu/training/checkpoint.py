@@ -67,15 +67,16 @@ def save_checkpoint(
 class AsyncSaver:
     """Non-blocking periodic checkpointing for the train loop.
 
-    ``save(...)`` snapshots the pytrees BY REFERENCE (jax arrays are
-    immutable — the optimizer step builds new trees, it never mutates
-    these) and runs the device→host gather + Orbax write in a background
-    thread, so training keeps stepping during the ~100 MB fetch that a
-    synchronous periodic save stalls on (several seconds through the
-    tunnel every 5000 steps). Saves serialize: a new ``save`` first joins
-    the previous one (at a 45 ms/step cadence the previous save is long
-    done), and ``wait()`` must be called before the final synchronous
-    save. Errors surface on the NEXT save/wait rather than being lost.
+    ``save(...)`` snapshots the pytrees by DEVICE-SIDE COPY on the
+    caller's thread (see the comment in ``save`` — a by-reference
+    snapshot races with the train step's buffer donation) and runs the
+    device→host gather + Orbax write in a background thread, so training
+    keeps stepping during the ~100 MB fetch that a synchronous periodic
+    save stalls on (several seconds through the tunnel every 5000
+    steps). Saves serialize: a new ``save`` first joins the previous one
+    (at a 45 ms/step cadence the previous save is long done), and
+    ``wait()`` must be called before the final synchronous save. Errors
+    surface on the NEXT save/wait rather than being lost.
 
     The thread is deliberately NON-daemon: Orbax's ``force=True``
     removes the existing ``last.ckpt`` before finalizing the new one, so
@@ -95,6 +96,23 @@ class AsyncSaver:
         import threading
 
         self.wait()
+
+        # Snapshot by DEVICE-SIDE COPY, not by reference: the train step
+        # donates its params/opt_state buffers (make_sharded_train_step
+        # donate=True), so once the loop dispatches the next step the
+        # originals are DELETED — a background gather still holding them
+        # raises "Array has been deleted". The copies are enqueued here,
+        # BEFORE the loop's next dispatch, so in-order device execution
+        # reads the buffers while they are still valid; the copies
+        # themselves are never step inputs, so never donated. (Found by
+        # the 50k-step hardware burn-in at the step-10000 save; invisible
+        # on CPU tests, where donation is a no-op.) Host numpy leaves
+        # (e.g. a restored step counter) pass through unchanged.
+        snap = lambda tree: jax.tree.map(
+            lambda x: x.copy() if isinstance(x, jax.Array) else x, tree
+        )
+        params, model_state = snap(params), snap(model_state)
+        opt_state = snap(opt_state) if opt_state is not None else None
 
         def run():
             try:

@@ -209,10 +209,9 @@ def test_resume_rejects_mismatched_opt_state(tmp_path):
 def test_async_saver_roundtrip_and_error_propagation(tmp_path):
     """AsyncSaver (run/train.py's periodic last.ckpt path): the background
     save must produce a checkpoint bit-identical to the synchronous one —
-    including when the train loop immediately replaces its param tree
-    (jax arrays are immutable; the snapshot is by reference) — saves must
-    serialize, and a failed background save must raise on the next
-    wait/save instead of disappearing."""
+    including when the train loop immediately replaces its param tree —
+    saves must serialize, and a failed background save must raise on the
+    next wait/save instead of disappearing."""
     from tacotron2_tpu.training import checkpoint as ckpt_lib
 
     tx, _ = make_optimizer(1e-3, 0.0)
@@ -247,6 +246,35 @@ def test_async_saver_roundtrip_and_error_propagation(tmp_path):
     saver.save(str(tmp_path / "again.ckpt"), pa, {})
     saver.wait()
     assert ckpt_lib.load_model(str(tmp_path / "again.ckpt"))[0] is not None
+
+
+def test_async_saver_survives_donated_originals(tmp_path):
+    """Donation-race regression (caught by the 50k hardware burn-in at a
+    step-10000 save): the sharded train step DONATES its params/opt_state
+    buffers, so the arrays handed to ``AsyncSaver.save`` are DELETED as
+    soon as the loop dispatches the next step — while the background
+    gather may still be reading them. The saver must snapshot by device
+    copy on the caller's thread: after ``save`` returns, deleting the
+    originals must not corrupt or fail the save. (Invisible to a CPU
+    train run — donation is a no-op there — hence this explicit
+    ``delete()``.)"""
+    from tacotron2_tpu.training import checkpoint as ckpt_lib
+
+    params = {"w": jnp.arange(16.0).reshape(4, 4)}
+    opt = {"m": jnp.ones((4,))}
+    saver = ckpt_lib.AsyncSaver()
+    d = str(tmp_path / "donated.ckpt")
+    saver.save(d, params, {}, {"k": 2}, opt_state=opt, step=11)
+    # simulate the next dispatch consuming the donated buffers
+    params["w"].delete()
+    opt["m"].delete()
+    saver.wait()
+    p, _, cfg = ckpt_lib.load_model(d)
+    np.testing.assert_array_equal(p["w"], np.arange(16.0).reshape(4, 4))
+    assert cfg == {"k": 2}
+    o, s = ckpt_lib.load_train(d, {"m": jnp.zeros((4,))})
+    assert s == 11
+    np.testing.assert_array_equal(o["m"], np.ones((4,)))
 
 
 def test_precast_bf16_training_equivalence():
