@@ -170,11 +170,11 @@ def do_train(
     )
 
     train_loader = TTSDataLoader(
-        train_dataset, batch_size=batch_size, num_workers=8, shuffle=True,
+        train_dataset, batch_size=batch_size, shuffle=True,
         drop_last=True, bucket_chars=32, bucket_frames=128, seed=seed,
     )
     val_loader = TTSDataLoader(
-        val_dataset, batch_size=64, num_workers=8, shuffle=False, drop_last=False,
+        val_dataset, batch_size=64, shuffle=False, drop_last=False,
         bucket_chars=32, bucket_frames=128,
     )
 

@@ -58,7 +58,7 @@ def do_train_mel_export(
             **prep_kwargs,
         )
         loader = TTSDataLoader(
-            dataset, batch_size=batch_size, num_workers=8, shuffle=False, drop_last=False,
+            dataset, batch_size=batch_size, shuffle=False, drop_last=False,
             bucket_chars=32, bucket_frames=128,
         )
         count = 0

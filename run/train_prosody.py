@@ -136,11 +136,11 @@ def do_train_prosody(
         features=val_df[features].values.tolist(), **ds_kwargs,
     )
     train_loader = TTSDataLoader(
-        train_dataset, batch_size=batch_size, num_workers=8, shuffle=True,
+        train_dataset, batch_size=batch_size, shuffle=True,
         drop_last=True, bucket_frames=128, bucket_chars=32, seed=seed,
     )
     val_loader = TTSDataLoader(
-        val_dataset, batch_size=batch_size, num_workers=8, shuffle=False,
+        val_dataset, batch_size=batch_size, shuffle=False,
         drop_last=False, bucket_frames=128, bucket_chars=32,
     )
 

@@ -39,6 +39,22 @@ def _process_worker_get(i: int):
     return _WORKER_DATASET[i]
 
 
+def default_num_workers() -> int:
+    """Host-adaptive loader worker count for the driver loops.
+
+    The reference hardcodes 8 DataLoader workers (run/train.py:150-168);
+    on a multi-core host that is right, but worker threads only help
+    while cores exist to run them: on the 1-core bench harness an
+    interleaved sweep measured workers=2 at 93.4 ms/step vs workers=8 at
+    136.9 (direct flagship train loop — 8 threads time-slice the core
+    away from the transport's RPC processing; PERF.md input-staging
+    study). min(8, 2*cores) gives 2 on 1 core and the reference's 8 from
+    4 cores up. Override per-loader via the num_workers argument."""
+    import os
+
+    return min(8, 2 * (os.cpu_count() or 4))
+
+
 def _round_up(x: int, m: Optional[int]) -> int:
     if not m:
         return x
@@ -107,7 +123,7 @@ class TTSDataLoader:
         self,
         dataset,
         batch_size: int = 1,
-        num_workers: int = 8,
+        num_workers: Optional[int] = None,  # None -> default_num_workers()
         shuffle: bool = False,
         drop_last: bool = True,
         seed: int = 0,
@@ -120,7 +136,9 @@ class TTSDataLoader:
         assert worker_type in ("thread", "process")
         self.dataset = dataset
         self.batch_size = batch_size
-        self.num_workers = max(1, num_workers)
+        self.num_workers = max(
+            1, num_workers if num_workers is not None else default_num_workers()
+        )
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
