@@ -200,11 +200,15 @@ def main() -> None:
         return wall / n
 
     # A/B/A/B rounds against tunnel-latency drift (CLAUDE.md timing protocol)
-    walls = {"direct": [], "prefetch": [], "host-prefetch": []}
-    for _ in range(1):
-        walls["direct"].append(run_direct(steps))
-        walls["prefetch"].append(run_prefetch(steps))
-        walls["host-prefetch"].append(run_host_prefetch(steps))
+    variants = {"direct": run_direct, "prefetch": run_prefetch,
+                "host-prefetch": run_host_prefetch}
+    want = [v.strip() for v in os.environ.get(
+        "PROBE_VARIANTS", "direct,prefetch,host-prefetch").split(",")]
+    rounds = int(os.environ.get("PROBE_ROUNDS", "1"))
+    walls = {k: [] for k in want}
+    for _ in range(rounds):
+        for k in want:
+            walls[k].append(variants[k](steps))
     B, F = 32, 474  # real frames per fixed-corpus utterance (5.5 s)
     for k, v in walls.items():
         t = float(np.median(v))
