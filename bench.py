@@ -76,7 +76,14 @@ def _slope(comp_a, comp_b, args, rounds, reps, dn):
             ta = med(comp_a, (2 * r + 1) * reps)
         slopes.append((tb - ta) / dn)
     slopes.sort()
-    return max(slopes[len(slopes) // 2], 1e-9)
+    median = max(slopes[len(slopes) // 2], 1e-9)
+    # dispersion (VERDICT r4 #3): the tunnel's transport drift makes the
+    # per-round slopes scatter; emit the spread so the artifact itself
+    # distinguishes a real regression from measurement weather
+    q1 = slopes[len(slopes) // 4]
+    q3 = slopes[(3 * len(slopes)) // 4]
+    return median, {"rounds": rounds, "slope_iqr_us": (q3 - q1) * 1e6,
+                    "slopes_us": [round(s * 1e6, 2) for s in slopes]}
 
 
 def _require_backend(timeout_s: float):
@@ -150,7 +157,7 @@ def main():
     # compile can carry cache-load / allocation one-offs)
     _timed_once(comps[len_a], args, 0)
     _timed_once(comps[len_b], args, 0)
-    sec_per_step = _slope(
+    sec_per_step, spread = _slope(
         comps[len_a], comps[len_b], args,
         rounds=int(os.environ.get("BENCH_ROUNDS", "7")), reps=iters,
         dn=len_b - len_a,
@@ -177,6 +184,16 @@ def main():
                 "vs_baseline": round(frames_per_sec / target_fps, 3),
                 "achieved_tflops": round(tf, 2),
                 "mfu_pct": round(100 * frac, 2),
+                # measurement self-description (VERDICT r4 #3): per-round
+                # slope median/IQR over `rounds` interleaved A/B rounds.
+                # Expected B=1 band on this tunnel (PERF.md "Bench
+                # dispersion"): median 9-13 µs/step = 77k-111k frames/s;
+                # values inside the band are transport drift, not a
+                # kernel regression.
+                "us_per_step_median": round(sec_per_step * 1e6, 2),
+                "us_per_step_iqr": round(spread["slope_iqr_us"], 2),
+                "rounds": spread["rounds"],
+                "slopes_us": spread["slopes_us"],
             }
         )
     )

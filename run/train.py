@@ -33,6 +33,7 @@ from tacotron2_tpu.data import TTSDataLoader, TTSDataset
 from tacotron2_tpu.parallel import (
     DevicePrefetcher,
     DirectStream,
+    use_device_prefetch,
     make_mesh_for_batch,
     place_params,
     place_replicated,
@@ -297,16 +298,18 @@ def do_train(
           f"max_steps {max_steps}, batch {batch_size}, mesh {dict(mesh.shape)}")
     stop_threshold = cfg.training.stopping_val_loss_threshold
     # Input staging (tools/train_loop_probe.py, tools/transfer_fence_probe.py
-    # on v5e/axon): the default is the DIRECT loop — host batch -> fast
-    # shard_batch (plain per-device puts; the NamedSharding device_put path
-    # costs +20 ms/step on the tunneled transport) -> dispatch. A
+    # on v5e/axon): DIRECT loop — host batch -> fast shard_batch (plain
+    # per-device puts; the NamedSharding device_put path costs +20 ms/step
+    # on the tunneled transport) -> dispatch — on small hosts, where a
     # background staging thread (DevicePrefetcher) measured NEUTRAL at
-    # best on this 1-core harness and a large NEGATIVE with few loader
-    # workers (83k vs 161k frames/s at num_workers=1) — every extra
-    # host thread steals GIL/CPU from the transport's own processing. On
-    # multi-core hosts the overlap is real; opt in via
-    # TACOTRON2_DEVICE_PREFETCH=1.
-    if os.environ.get("TACOTRON2_DEVICE_PREFETCH"):
+    # best and a large NEGATIVE with few loader workers (83k vs 161k
+    # frames/s at num_workers=1): every extra host thread steals GIL/CPU
+    # from the transport's own RPC processing. On multi-core hosts the
+    # loader/H2D overlap is real, so the policy is CORE-COUNT-ADAPTIVE
+    # (>=4 cores -> prefetch), mirroring data.loader.default_num_workers;
+    # TACOTRON2_DEVICE_PREFETCH=1/0 force-overrides either way
+    # (parallel/prefetch.py::use_device_prefetch, decision table PERF.md).
+    if use_device_prefetch():
         stream = DevicePrefetcher(train_loader, mesh, depth=2)
     else:
         stream = DirectStream(train_loader, mesh)
@@ -326,9 +329,20 @@ def do_train(
             frames_done += int(np.sum(batch["mel_len"]))
             step += 1
             if step % log_every == 0 or step == 1:
-                m = {f"training_{k}": float(v) for k, v in metrics.items() if k != "loss"}
-                m["training_loss"] = float(metrics["loss"])
-                m["lr"] = float(schedule(step))
+                # ONE transport round-trip for all log scalars (same fix
+                # as the val loop above): each individual float() pays the
+                # ~28 ms fixed tunnel latency, ~140 ms per log step when
+                # the ~5 metrics are fetched one by one. Stack device-side
+                # (one tiny concatenate dispatch, compiled once) and fetch
+                # the vector with a single np.asarray.
+                names = sorted(metrics)
+                stacked = jax.numpy.stack(
+                    [jax.numpy.asarray(metrics[k], jax.numpy.float32) for k in names]
+                    + [jax.numpy.asarray(schedule(step), jax.numpy.float32)]
+                )
+                vals = np.asarray(stacked)
+                m = {f"training_{k}": float(v) for k, v in zip(names, vals)}
+                m["lr"] = float(vals[-1])
                 dt = time.time() - t_last
                 m["mel_frames_per_sec"] = frames_done / max(dt, 1e-9)
                 t_last, frames_done = time.time(), 0
@@ -347,8 +361,11 @@ def do_train(
                     print(f"early stop: val_loss {val_loss:.4f} <= {stop_threshold}")
                     break
             if step % 5000 == 0:
-                # async: snapshots the (immutable) trees by reference and
-                # gathers/writes in a background thread — the loop keeps
+                # async: snapshots by DEVICE-SIDE COPY before the next
+                # donating dispatch (the donated step deletes the old
+                # param/opt buffers — a by-reference snapshot raced the
+                # background gather; caught by the r4 burn-in), then
+                # gathers/writes in a background thread so the loop keeps
                 # stepping through the ~100 MB device→host fetch a sync
                 # save stalls on (training/checkpoint.py::AsyncSaver)
                 saver.save(

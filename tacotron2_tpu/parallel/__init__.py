@@ -1,4 +1,8 @@
-from tacotron2_tpu.parallel.prefetch import DevicePrefetcher, DirectStream
+from tacotron2_tpu.parallel.prefetch import (
+    DevicePrefetcher,
+    DirectStream,
+    use_device_prefetch,
+)
 from tacotron2_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -14,6 +18,7 @@ from tacotron2_tpu.parallel.mesh import (
 __all__ = [
     "DevicePrefetcher",
     "DirectStream",
+    "use_device_prefetch",
     "make_mesh",
     "make_mesh_for_batch",
     "batch_sharding",

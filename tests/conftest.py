@@ -28,3 +28,78 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# ---------------------------------------------------------------------------
+# Two-tier suite (VERDICT r4 #8): `pytest -m "not slow"` is the <3-min dev
+# loop; the FULL suite (unchanged command) stays the CI gate. The slow set
+# is curated from the r5 --durations profile (every test >= ~6.5 s on this
+# 1-core host — jointly ~85% of the suite's wall time): multihost (spawns 3
+# extra interpreters + gloo), the big parity/gradient shapes, and the e2e
+# driver roundtrips. Marking lives HERE (collection hook) so the tier is
+# maintained in one place instead of 40 scattered decorators.
+
+import pytest
+
+_SLOW_FILES = {"test_multihost.py"}
+_SLOW_TESTS = {
+    # (file, bare test name — parametrized variants all match)
+    ("test_train_pallas.py", "test_pallas_bwd_batch_chunked_grads"),
+    ("test_train_pallas.py", "test_pallas_grad_with_gst"),
+    ("test_train_pallas.py", "test_pallas_grad_matches_standard"),
+    ("test_train_pallas.py", "test_pallas_forward_matches_standard"),
+    ("test_train_pallas.py", "test_pallas_grad_with_controls_and_speaker"),
+    ("test_train_pallas.py", "test_pallas_bf16_policy_trains"),
+    ("test_train_pallas.py", "test_pallas_bwd_modes_agree"),
+    ("test_train_pallas.py", "test_pallas_bwd_modes_agree_bf16"),
+    ("test_parallel.py", "test_dp_fused_decode_shard_map_matches_single"),
+    ("test_parallel.py", "test_dp_train_step_matches_single_device"),
+    ("test_parallel.py", "test_dp_pallas_grads_match_single_device"),
+    ("test_parity_aux_models.py", "test_prosody_predictor_shapes_and_masking"),
+    ("test_parity_aux_models.py", "test_gst_train_mode_updates_bn"),
+    ("test_parity_aux_models.py", "test_embedding_encoder_parity"),
+    ("test_parity_aux_models.py", "test_gst_parity"),
+    ("test_prosody_training.py", "test_style_loss_step_composition"),
+    ("test_prosody_training.py", "test_train_driver_prosody_phase"),
+    ("test_prosody_training.py", "test_train_prosody_driver_and_checkpoint_roundtrip"),
+    ("test_parity_hifigan.py", "test_fold_rewrite_exact"),
+    ("test_parity_hifigan.py", "test_mrf_poly_rewrite_exact"),
+    ("test_mrf_pallas.py", "test_hifigan_apply_fuse_ups_universal_all_stages"),
+    ("test_mrf_pallas.py", "test_hifigan_apply_fuse_ups_matches_base"),
+    ("test_mrf_pallas.py", "test_hifigan_apply_mrf_pallas_matches_base"),
+    ("test_mrf_pallas.py", "test_mrf_edge_mask_exact_multi_tile"),
+    ("test_drivers_extended.py", "test_multispeaker_controls_train_say_finetune"),
+    ("test_drivers_extended.py", "test_descriptions_train_e2e"),
+    ("test_fused_decoder.py", "test_fused_decode_batch_chunked_matches_single"),
+    ("test_fused_decoder.py", "test_fused_resident_split_matches"),
+    ("test_fused_decoder.py", "test_fused_matches_xla_no_dropout"),
+    ("test_fused_decoder.py", "test_row_rngs_batch_invariant"),
+    ("test_fused_decoder.py", "test_fused_with_controls_and_speaker"),
+    ("test_e2e.py", "test_resume_training"),
+    ("test_e2e.py", "test_train_say_test_roundtrip"),
+    ("test_graft_entry.py", "test_dryrun_multichip_8"),
+    ("test_graft_entry.py", "test_dryrun_multichip_2"),
+    ("test_gst_conditioning.py", "test_gst_inference_reference_mel_changes_output"),
+    ("test_gst_conditioning.py", "test_gst_widens_memory_and_trains"),
+    ("test_parity_tacotron2.py", "test_teacher_forcing_parity_vanilla"),
+    ("test_train_scan.py", "test_grad_equivalence"),
+    ("test_train_scan.py", "test_grad_equivalence_with_controls_and_speaker"),
+    ("test_embed_descriptions.py", "test_train_consumes_emitted_embeddings"),
+    ("test_data.py", "test_loader_process_workers"),
+    ("test_full_pipeline.py", "test_preprocess_split_train_say"),
+    ("test_server.py", "test_server_subprocess_mode"),
+    ("test_training.py", "test_precast_bf16_training_equivalence"),
+    ("test_training.py", "test_overfit_tiny_batch"),
+    ("test_drivers_controls.py", "test_test_correlation_driver"),
+    ("test_bert.py", "test_bert_parity_no_padding"),
+    ("test_bert.py", "test_bert_parity_with_padding_mask"),
+    ("test_bert.py", "test_bert_base_production_shape_parity"),
+    ("test_bert.py", "test_bert_base_from_local_truncated_description"),
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        base = item.name.split("[")[0]
+        if fname in _SLOW_FILES or (fname, base) in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

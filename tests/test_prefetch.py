@@ -10,7 +10,12 @@ import time
 import numpy as np
 import pytest
 
-from tacotron2_tpu.parallel import DevicePrefetcher, DirectStream, make_mesh_for_batch
+from tacotron2_tpu.parallel import (
+    DevicePrefetcher,
+    DirectStream,
+    make_mesh_for_batch,
+    use_device_prefetch,
+)
 
 
 class ListLoader:
@@ -101,3 +106,69 @@ def test_prefetch_empty_loader_raises(make_stream):
     with pytest.raises(RuntimeError, match="no batches"):
         next(iter(pf))
     pf.close()
+
+
+def test_staging_policy_core_count_adaptive():
+    """use_device_prefetch (VERDICT r4 #6): core-count-adaptive default
+    (threads starve a 1-core host — PERF.md staging decision table), env
+    var is an explicit override in EITHER direction."""
+    # adaptive default: inline below 4 cores, prefetch at >= 4
+    assert use_device_prefetch(env=None, cores=1) is False
+    assert use_device_prefetch(env=None, cores=2) is False
+    assert use_device_prefetch(env=None, cores=4) is True
+    assert use_device_prefetch(env=None, cores=64) is True
+    # env forces ON even on a 1-core host (the old opt-in behavior) ...
+    assert use_device_prefetch(env="1", cores=1) is True
+    # ... and forces OFF even on a big host (new: override both ways)
+    assert use_device_prefetch(env="0", cores=64) is False
+    assert use_device_prefetch(env="off", cores=64) is False
+    # the current host resolves without error either way
+    assert use_device_prefetch() in (True, False)
+
+
+def test_prefetch_close_join_is_bounded():
+    """close() must not hang forever when the stage thread is stuck in a
+    transfer (the documented hung-tunnel failure mode): after the bounded
+    join it abandons the daemon thread instead of blocking shutdown."""
+    mesh = make_mesh_for_batch(4)
+
+    release = threading.Event()
+
+    class StuckLoader:
+        def __iter__(self):
+            yield _batches(1)[0]
+            release.wait(30)  # simulates a device_put stuck on the tunnel
+            return
+
+    pf = DevicePrefetcher(StuckLoader(), mesh, depth=1)
+    it = iter(pf)
+    next(it)  # thread is now inside the stuck "transfer"
+    t0 = time.time()
+    pf.close(join_timeout=0.3)
+    assert time.time() - t0 < 5.0  # bounded, not the 30 s stall
+    release.set()  # let the daemon thread exit cleanly
+
+
+def test_prefetch_late_error_recorded_not_dropped():
+    """An error raised after the consumer stopped must not vanish: it is
+    stored on the object and re-raised by close() (ADVICE r4)."""
+    mesh = make_mesh_for_batch(4)
+    entered = threading.Event()
+
+    class LateBoomLoader:
+        def __iter__(self):
+            yield _batches(1)[0]
+            entered.set()
+            time.sleep(0.2)  # let the consumer set _stop first
+            raise ValueError("late transfer failure")
+
+    pf = DevicePrefetcher(LateBoomLoader(), mesh, depth=1)
+    it = iter(pf)
+    next(it)
+    entered.wait(5)
+    pf._stop.set()  # consumer gone: _put will refuse the error tuple
+    deadline = time.time() + 5
+    while pf.error is None and time.time() < deadline:
+        time.sleep(0.02)
+    with pytest.raises(ValueError, match="late transfer failure"):
+        pf.close()
