@@ -355,10 +355,20 @@ class MicroBatcher:
     (PERF.md)."""
 
     def __init__(self, registry: ModelRegistry, window_ms: float = 8.0,
-                 max_batch: int = 64):
+                 max_batch: int = 64, depth: int = 2):
+        """``depth`` — window pipelining (VERDICT r4 #2): up to ``depth``
+        micro-batches in flight per model, so window N+1's decode/vocode
+        DISPATCHES (and the chip computes) while window N's int16 wavs
+        stream down the tunnel (~70% of a K=64 window is that fetch with
+        the chip idle — tools/server_phase_probe.py). Measured steady-state
+        (tools/server_sustained_bench.py, ABAB): see PERF.md "Sustained
+        serving pipelining". depth=1 restores strictly sequential windows.
+        Audio is batch-composition-invariant (per-row PRNG streams), so
+        pipelining cannot change any request's wav."""
         self.registry = registry
         self.window = max(window_ms, 0.0) / 1000.0
         self.max_batch = max(int(max_batch), 1)
+        self.depth = max(int(depth), 1)
         self._queues: Dict[int, asyncio.Queue] = {}
         self._workers: Dict[int, asyncio.Task] = {}
 
@@ -399,58 +409,82 @@ class MicroBatcher:
         self._workers.clear()
         self._queues.clear()
 
-    async def _worker(self, model_idx: int, q: asyncio.Queue):
+    async def _run_batch(self, model_idx: int, batch):
+        """Validate + synthesize ONE collected window and resolve its
+        futures; every failure mode lands on the waiters' futures, never
+        on the worker loop."""
         loop = asyncio.get_event_loop()
-        while True:
-            batch = [await q.get()]
-            deadline = loop.time() + self.window
-            while len(batch) < self.max_batch:
-                timeout = deadline - loop.time()
-                if timeout <= 0:
-                    try:  # window closed: take only what's already queued
-                        batch.append(q.get_nowait())
-                    except asyncio.QueueEmpty:
-                        break
-                    continue
+        try:
+            # load INSIDE the try: a bad checkpoint/config path must
+            # fail these requests with an error, not kill this worker
+            # task and hang every current and future request for the
+            # model (the queue would keep accepting with no consumer)
+            bundle = self.registry.load(model_idx)
+            good = []
+            for r, fut in batch:
                 try:
-                    batch.append(await asyncio.wait_for(q.get(), timeout))
-                except asyncio.TimeoutError:
-                    break
-            try:
-                # load INSIDE the try: a bad checkpoint/config path must
-                # fail these requests with an error, not kill this worker
-                # task and hang every current and future request for the
-                # model (the queue would keep accepting with no consumer)
-                bundle = self.registry.load(model_idx)
-                good = []
-                for r, fut in batch:
-                    try:
-                        _validate_request(bundle[0], r)
-                        good.append((r, fut))
-                    except Exception as exc:  # reject THIS request only
-                        if not fut.done():
-                            fut.set_exception(exc)
-                if not good:
-                    continue
-                paths = await loop.run_in_executor(
-                    None, _synthesize_batch, bundle, [r for r, _ in good]
-                )
-                for (_, fut), p in zip(good, paths):
-                    if not fut.done():
-                        fut.set_result(p)
-            except asyncio.CancelledError:
-                # shutdown (close() cancels workers): the in-flight
-                # batch's waiters must not hang on never-resolved futures
-                # — CancelledError bypasses the Exception clause below
-                for _, fut in batch:
-                    if not fut.done():
-                        fut.set_exception(
-                            RuntimeError("server shutting down"))
-                raise
-            except Exception as exc:  # propagate to every waiter
-                for _, fut in batch:
+                    _validate_request(bundle[0], r)
+                    good.append((r, fut))
+                except Exception as exc:  # reject THIS request only
                     if not fut.done():
                         fut.set_exception(exc)
+            if not good:
+                return
+            paths = await loop.run_in_executor(
+                None, _synthesize_batch, bundle, [r for r, _ in good]
+            )
+            for (_, fut), p in zip(good, paths):
+                if not fut.done():
+                    fut.set_result(p)
+        except asyncio.CancelledError:
+            # shutdown (close() cancels the worker, which cancels us):
+            # this batch's waiters must not hang on never-resolved
+            # futures — CancelledError bypasses the Exception clause
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(RuntimeError("server shutting down"))
+            raise
+        except Exception as exc:  # propagate to every waiter
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(exc)
+
+    async def _worker(self, model_idx: int, q: asyncio.Queue):
+        loop = asyncio.get_event_loop()
+        inflight: set = set()
+        try:
+            while True:
+                batch = [await q.get()]
+                deadline = loop.time() + self.window
+                while len(batch) < self.max_batch:
+                    timeout = deadline - loop.time()
+                    if timeout <= 0:
+                        try:  # window closed: take what's already queued
+                            batch.append(q.get_nowait())
+                        except asyncio.QueueEmpty:
+                            break
+                        continue
+                    try:
+                        batch.append(await asyncio.wait_for(q.get(), timeout))
+                    except asyncio.TimeoutError:
+                        break
+                # pipelined dispatch: up to self.depth windows in flight —
+                # window N+1 decodes while window N's wavs fetch/write
+                # (each runs on its own default-executor thread; rows are
+                # PRNG- and kernel-independent so overlap is audio-safe)
+                while len(inflight) >= self.depth:
+                    done, inflight = await asyncio.wait(
+                        inflight, return_when=asyncio.FIRST_COMPLETED)
+                task = asyncio.ensure_future(self._run_batch(model_idx, batch))
+                inflight.add(task)
+        except asyncio.CancelledError:
+            # shutdown: cancel in-flight window tasks; each fails its own
+            # waiters' futures in _run_batch's CancelledError clause
+            for t in inflight:
+                t.cancel()
+            if inflight:
+                await asyncio.gather(*inflight, return_exceptions=True)
+            raise
 
 
 def warmup_models(registry: ModelRegistry) -> None:
@@ -493,6 +527,7 @@ def make_app(server_config: Dict[str, Any], mode: str = "warm") -> web.Applicati
         registry,
         window_ms=float(bcfg.get("window_ms", 8.0)),
         max_batch=int(bcfg.get("max_batch", 64)),
+        depth=int(bcfg.get("depth", 2)),
     ) if bcfg.get("enabled", True) else None
 
     async def index(request):
@@ -519,6 +554,7 @@ def make_app(server_config: Dict[str, Any], mode: str = "warm") -> web.Applicati
             "batching": None if batcher is None else {
                 "window_ms": batcher.window * 1000.0,
                 "max_batch": batcher.max_batch,
+                "depth": batcher.depth,
                 "decode_launches": calls,
                 "decoded_rows": rows,
                 "rows_per_launch": round(rows / calls, 2) if calls else None,

@@ -292,7 +292,18 @@ def do_train(
     trace_ctx.__enter__()
     saver = ckpt_lib.AsyncSaver()
     step = int(ts.step)
-    data_rng = jax.random.PRNGKey(seed + 1)
+    # Dropout PRNG: the hardware RBG generator by default (measured r5:
+    # 42.3 vs 45.7 ms/step at B=32/512f = +7.5% — threefry's VPU bit-mixing
+    # for the ~50M dropout mask draws/step [postnet 5x(B,T,512) + prenet +
+    # LSTM masks] was 3.4 ms of the step; tools/ probe in PERF.md "Postnet
+    # backward / dropout RNG"). Training semantics are unchanged (dropout
+    # bits are random either way; same key -> same masks across the fused/
+    # XLA paths and across DP shards). TACOTRON2_PRNG=threefry restores
+    # the old stream (e.g. to reproduce a pre-r5 run bit-exactly).
+    if os.environ.get("TACOTRON2_PRNG", "rbg") == "threefry":
+        data_rng = jax.random.PRNGKey(seed + 1)
+    else:
+        data_rng = jax.random.key(seed + 1, impl="rbg")
     t_last, frames_done = time.time(), 0
     print(f"train: {len(train_dataset)} utts, {steps_per_epoch} steps/epoch, "
           f"max_steps {max_steps}, batch {batch_size}, mesh {dict(mesh.shape)}")

@@ -116,6 +116,47 @@ def conv1d_apply(params, x, policy: Policy = F32, padding: str | int = "SAME", d
     return y
 
 
+def conv1d_apply_taps(params, x, policy: Policy = F32, padding: str | int = "SAME",
+                      dilation: int = 1):
+    """Tap-sum rewrite of :func:`conv1d_apply` (same math, stride-1 only):
+    ``y[t] = Σ_k x[t + k·d − pad] @ W[k]`` as K static slices of the
+    zero-padded input, each contracted on the MXU with f32 accumulation.
+
+    Why it exists (VERDICT r4 #7, postnet backward): differentiating THIS
+    form gives K clean matmuls per layer — ``dW[k] = x_k^T @ dy`` and
+    ``dx = Σ_k shift_k(dy) @ W[k]^T`` — instead of XLA's
+    conv_general_dilated transpose rule; measured A/B of the full train
+    step decides whether the postnet uses it (PERF.md "Postnet backward").
+    Numerics: each tap accumulates f32 and the K partials sum in f32 (the
+    conv path casts the finished conv to bf16 once) — same bf16 matmul
+    class, not bit-equal under a bf16 policy."""
+    w = params["w"]  # (K, Cin, Cout)
+    K = w.shape[0]
+    eff = (K - 1) * dilation + 1
+    if padding == "SAME":
+        lo = (eff - 1) // 2
+    elif isinstance(padding, int):
+        lo = padding
+    else:
+        raise ValueError(f"taps path supports SAME/int padding, got {padding}")
+    hi = eff - 1 - lo if padding == "SAME" else lo
+    T = x.shape[1]
+    T_out = T + lo + hi - eff + 1
+    xp = jnp.pad(policy.cast(x), ((0, 0), (lo, hi), (0, 0)))
+    wc = policy.cast(w)
+    y = None
+    for k in range(K):
+        xk = jax.lax.slice_in_dim(xp, k * dilation, k * dilation + T_out, axis=1)
+        yk = jax.lax.dot_general(
+            xk, wc[k], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = yk if y is None else y + yk
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
 def conv_transpose1d_init(key, in_ch: int, out_ch: int, kernel: int, dtype=jnp.float32):
     """torch nn.ConvTranspose1d default init — torch computes fan_in from
     weight dim 1, i.e. out_ch * kernel for transposed convs. Weight stored

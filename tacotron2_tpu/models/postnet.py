@@ -8,6 +8,7 @@ Applied over (B, T, M) channels-last here (reference uses (B, M, T)).
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -41,8 +42,15 @@ def apply(
 ) -> Tuple[jnp.ndarray, dict]:
     num_layers = len(params["convs"])
     new_bns = []
+    # T2T_POSTNET_TAPS=1: tap-sum conv rewrite whose BACKWARD is K clean
+    # matmuls (layers.conv1d_apply_taps) — the VERDICT r4 #7 experiment;
+    # read at trace time, A/B in PERF.md "Postnet backward" decides the
+    # default
+    conv = (layers.conv1d_apply_taps
+            if os.environ.get("T2T_POSTNET_TAPS") == "1"
+            else layers.conv1d_apply)
     for i in range(num_layers):
-        x = layers.conv1d_apply(params["convs"][i], x, policy, padding="SAME")
+        x = conv(params["convs"][i], x, policy, padding="SAME")
         x, bn_s = layers.batchnorm_apply(params["bns"][i], state["bns"][i], x, train)
         new_bns.append(bn_s)
         if i < num_layers - 1:  # last layer: no Tanh (model/postnet.py:36-46)

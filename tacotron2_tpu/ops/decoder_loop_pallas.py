@@ -47,6 +47,7 @@ Design notes:
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -196,6 +197,7 @@ def batched_location_attention(
     h_new, wpadP, wpadC, att_w_prev, att_w_cum_prev,
     w_loc_win, wq, wv, att_enc_cat, valid, encoded, block_expand, s_ctx,
     *, B8: int, BA: int, L: int, LB: int, dt, flat_build: bool = False,
+    level: int = 99,
 ):
     """The batched location-attention epilogue shared by the fused decode
     kernel and the fused training kernel (ops/train_decode_pallas.py):
@@ -213,9 +215,26 @@ def batched_location_attention(
 
     Writes per-row contexts into the ``s_ctx`` ref; returns the new
     attention weights (B8, L). ``wpadP``/``wpadC`` are (B8, LB) f32 scratch
-    refs (zero outside [15, 15+L))."""
+    refs (zero outside [15, 15+L)).
+
+    ``level`` is the debug-only T2T_DEC_LEVEL bisection knob (decode-side
+    analog of the backward's T2T_BWD_LEVEL; tools/decode_decompose.py):
+    cumulative cut points 45 = window build only, 50 = + tap contraction,
+    55 = + query/energy tanh, 60 = + energy reduction/softmax, 65+ = full
+    (+ context vecmats). Truncated levels route the last computed value
+    into the ``s_ctx`` OUTPUT ref (a pure slice — no extra FLOPs) so
+    Mosaic cannot DCE the measured section, and return the UNCHANGED
+    previous weights."""
     f32 = jnp.float32
     NL = B8 * LB
+
+    def _probe(val):
+        # slice-copy into the ctx output so the section survives DCE;
+        # rows/cols guarded for tiny test configs
+        rows = min(B8, val.shape[0])
+        cols = min(s_ctx.shape[1], val.shape[1])
+        s_ctx[:rows, :cols] = val[:rows, :cols].astype(f32)
+
     wpadP[:, 15 : 15 + L] = att_w_prev
     wpadC[:, 15 : 15 + L] = att_w_cum_prev
     if flat_build:
@@ -267,12 +286,18 @@ def batched_location_attention(
         w_cat = jnp.concatenate(
             [w_big[b * 64 : (b + 1) * 64, :] for b in range(B8)], axis=1
         ).astype(dt)  # (64, B8*LB)
+    if level <= 45:  # bisection: window build only
+        _probe(w_cat)
+        return att_w_prev
     # loc energies for ALL batch rows in ONE matmul (contract taps)
     loc_cat = jax.lax.dot_general(
         w_loc_win[:].astype(dt), w_cat,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=f32,
     )  # (A, B8*LB)
+    if level <= 50:  # bisection: + folded-conv tap contraction
+        _probe(loc_cat)
+        return att_w_prev
     # query, transposed directly off the matmul (A, B8), then
     # block-expanded to (A, B8*LB) via the constant 0/1 expansion matrix
     # (kron(I_B8, ones(1, LB))); att_enc arrives pre-flattened
@@ -287,6 +312,9 @@ def batched_location_attention(
         preferred_element_type=f32,
     )  # (A, B8*LB)
     e_cat = jnp.tanh(loc_cat + q_cat + att_enc_cat[:].astype(f32))
+    if level <= 55:  # bisection: + query add / (A, NL) energy tanh
+        _probe(e_cat)
+        return att_w_prev
     # tanh-energy reduction for ALL rows in ONE matmul
     e_flat = jax.lax.dot_general(
         wv[:].astype(dt), e_cat.astype(dt),
@@ -303,6 +331,8 @@ def batched_location_attention(
     m = jnp.max(e, axis=1, keepdims=True)
     w = jnp.exp(e - m)
     w = (w / jnp.sum(w, axis=1, keepdims=True))[:, :L]  # (B8, L)
+    if level <= 60:  # bisection: + energy reduction / masked softmax
+        return w  # real weights reach the caller's output refs — no DCE
 
     # context per ACTIVE batch row: (1,L)@(L,D) MXU vecmats
     for b in range(BA):
@@ -336,7 +366,18 @@ def _decode_chunk_kernel(
     gates, xh, xh_q, sx, wpadP, wpadC,
     *, H: int, D: int, P: int, M: int, L: int, E: int, R1: int, LB: int,
     NCA: int, NC: int, CW: int, BA: int, RC: int, FULL: bool,
+    level: int = 99, SPLITDEC: bool = False,
 ):
+    # ``level`` = T2T_DEC_LEVEL bisection knob (tools/decode_decompose.py,
+    # decode-side analog of the backward's T2T_BWD_LEVEL): cumulative
+    # truncation for per-section cost attribution. 10 = IO/pipeline
+    # skeleton, 20 = + prenet, 30 = + resident att-LSTM matmul, 40 =
+    # + att-LSTM nonlinearity, 45-65 = attention epilogue stages (see
+    # batched_location_attention), 70 = + phase-1 xh build + resident
+    # dec-LSTM matmul, 80 = + dec-LSTM nonlinearity, 99 = full (+ heads).
+    # Truncated levels still write out_mel_gate every frame with a
+    # POSITIVE gate column so the outer early-stop loop runs all chunks,
+    # and route partial values into output refs to defeat DCE.
     t = pl.program_id(0)
     s = pl.program_id(1)  # [0, NCA) = attention phase, [NCA, NC) = decoder phase
     B8 = in_mel.shape[0]
@@ -373,9 +414,30 @@ def _decode_chunk_kernel(
         wpadP[:, :] = jnp.zeros(wpadP.shape, f32)
         wpadC[:, :] = jnp.zeros(wpadC.shape, f32)
 
+    def _probe_align(val):
+        # route a truncated level's last computed value into the align
+        # OUTPUT so Mosaic cannot DCE the section (slice copy, no FLOPs)
+        cols = min(L, val.shape[1])
+        pad = jnp.zeros((B8, L - cols), f32)
+        v = val[:, :cols].astype(f32)
+        out_align[0] = v if cols == L else jnp.concatenate([v, pad], axis=1)
+
+    def _probe_mel_gate(val):
+        # same, into the mel/gate output — abs()+1 keeps every gate
+        # column positive so the outer early-stop never fires
+        cols = min(128, val.shape[1])
+        v = jnp.abs(val[:, :cols].astype(f32)) + 1.0
+        if cols < 128:
+            v = jnp.concatenate(
+                [v, jnp.full((B8, 128 - cols), 10.0, f32)], axis=1
+            )
+        out_mel_gate[0] = v
+
     # ---------------- phase 0: prenet + attention LSTM + attention --------
     @pl.when(s == 0)
     def _prenet():
+        if level <= 10:
+            return
         x = s_mel[:].astype(dt)  # (B8, M)
         h1 = jnp.maximum(jnp.dot(x, wp1[:], preferred_element_type=f32), 0.0)
         h1 = h1 * dmask1[0]
@@ -387,14 +449,14 @@ def _decode_chunk_kernel(
         xh[:, R1:] = jnp.zeros((B8, xh.shape[1] - R1), f32)  # att stream row pad
         if quantized:
             _quantize_xh()
-        if RC:  # att LSTM's resident columns (global cols [0, RC))
+        if RC and level > 20:  # att LSTM's resident columns (cols [0, RC))
             _resident_gates(slice(0, RC), 0)
 
     # gate accumulation (both phases stream the unified weight blocks);
     # streamed chunk s covers global cols RC + local_c*CW (+4H for dec).
     # Under FULL residency there is nothing streamed — the resident matmuls
     # in _prenet/_attention already wrote all 4H gate columns.
-    if not FULL:
+    if not FULL and level > 20:
         local_c = jnp.where(s < NCA, s, s - NCA)
         # RC/CW/4H are static multiples of 128 — hint Mosaic so the dynamic
         # column slices stay lane-aligned
@@ -409,6 +471,14 @@ def _decode_chunk_kernel(
 
     @pl.when(s == NCA - 1)
     def _attention():
+        if level <= 10:
+            return
+        if level <= 20:  # bisection: prenet only — probe xh, skip the rest
+            _probe_align(xh[:])
+            return
+        if level <= 30:  # bisection: + resident att-LSTM matmul
+            _probe_align(gates[:])
+            return
         i = jax.nn.sigmoid(gates[:, :H])
         f = jax.nn.sigmoid(gates[:, H : 2 * H])
         gg = jnp.tanh(gates[:, 2 * H : 3 * H])
@@ -417,6 +487,25 @@ def _decode_chunk_kernel(
         h_new = o * jnp.tanh(c_new)
         s_att_c[:] = c_new
         s_att_h[:] = h_new
+        if level <= 40:  # bisection: + att-LSTM nonlinearity
+            _probe_align(h_new)
+            return
+
+        # SPLITDEC (decode-attribution follow-up, PERF.md "Fused decode
+        # attribution"): the decoder-LSTM resident matmul's input rows are
+        # [h_new H | ctx D | controls E | rnn_h H] and only the ctx slice
+        # depends on the attention epilogue. Issue the attention-
+        # independent ~80% of that matmul (ctx rows zeroed) BEFORE the
+        # VPU-bound attention chain so the MXU overlaps it; add the small
+        # (B8,D)x(D,4H) ctx contribution after. Same f32 accumulation
+        # class (two partial sums instead of one contraction).
+        split = SPLITDEC and FULL and not quantized and RC and level > 65
+        if split:
+            xh[:, :H] = h_new
+            xh[:, H : H + D] = jnp.zeros((B8, D), f32)
+            xh[:, H + D : H + D + E] = controls[:]
+            xh[:, H + D + E :] = s_rnn_h[:]
+            _resident_gates(slice(RC, 2 * RC), 4 * H)
 
         # batched location attention (shared epilogue, see
         # batched_location_attention): three MXU contractions over the
@@ -424,11 +513,20 @@ def _decode_chunk_kernel(
         w = batched_location_attention(
             h_new, wpadP, wpadC, s_att_w[:], s_att_w_cum[:],
             w_loc_win, wq, wv, att_enc_cat, valid, encoded, block_expand,
-            s_ctx, B8=B8, BA=BA, L=L, LB=LB, dt=dt,
+            s_ctx, B8=B8, BA=BA, L=L, LB=LB, dt=dt, level=level,
         )
         s_att_w_cum[:] = s_att_w_cum[:] + w
         s_att_w[:] = w
         out_align[0] = w
+        if level <= 65:  # bisection: attention epilogue stages (45-65)
+            return
+
+        if split:
+            gates[:, :RC] = gates[:, :RC] + jnp.dot(
+                s_ctx[:].astype(dt), w_res[H : H + D, RC : 2 * RC],
+                preferred_element_type=f32,
+            )
+            return
 
         # load the decoder-LSTM input layout for phase 1
         xh[:, :H] = h_new
@@ -443,6 +541,15 @@ def _decode_chunk_kernel(
     # ---------------- phase 1 epilogue: decoder LSTM + heads ---------------
     @pl.when(s == NC - 1)
     def _heads():
+        if level <= 65:
+            # truncated: out_mel_gate must still be written every frame
+            # with a POSITIVE gate column, else the outer while_loop's
+            # early-stop check reads garbage and may cut the chunk count
+            out_mel_gate[0] = jnp.full((B8, 128), 10.0, f32)
+            return
+        if level <= 70:  # bisection: + xh build + resident dec matmul
+            _probe_mel_gate(gates[:])
+            return
         i = jax.nn.sigmoid(gates[:, :H])
         f = jax.nn.sigmoid(gates[:, H : 2 * H])
         gg = jnp.tanh(gates[:, 2 * H : 3 * H])
@@ -451,6 +558,10 @@ def _decode_chunk_kernel(
         h_new = o * jnp.tanh(c_new)
         s_rnn_c[:] = c_new
         s_rnn_h[:] = h_new
+        if level <= 80:  # bisection: + dec-LSTM nonlinearity (no heads)
+            _probe_mel_gate(h_new)
+            s_mel[:] = jnp.abs(h_new[:, :M])  # keep the recurrence live
+            return
 
         out = (
             jnp.dot(h_new.astype(dt), w_out[:H], preferred_element_type=f32)
@@ -524,6 +635,12 @@ class FusedDecodeLoop:
             _decode_chunk_kernel, H=H, D=D, P=P, M=M, L=L, E=E, R1=R1, LB=LB,
             NCA=NCA, NC=NC, CW=CW, BA=min(self.B, B8), RC=self.RC,
             FULL=self.FULL,
+            # debug-only bisection knob for section attribution (decode
+            # analog of T2T_BWD_LEVEL; tools/decode_decompose.py); 99 = full
+            level=int(os.environ.get("T2T_DEC_LEVEL", "99")),
+            # split-decoder-matmul MXU/VPU overlap experiment (PERF.md
+            # "Fused decode attribution"); measured A/B decides default
+            SPLITDEC=os.environ.get("T2T_DEC_SPLITDEC", "0") == "1",
         )
 
         def resident(*shape):

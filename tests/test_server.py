@@ -912,3 +912,54 @@ def test_server_batched_per_row_conditioning(tmp_path, monkeypatch):
                 np.testing.assert_allclose(wav_b, wav_s, atol=1e-3, rtol=0)
 
     asyncio.run(run())
+
+
+def test_microbatcher_pipelines_windows(monkeypatch):
+    """MicroBatcher depth (VERDICT r4 #2): with depth=2 consecutive
+    windows' synthesis calls OVERLAP (window N+1 dispatches while window
+    N runs — the double-buffering that hides the wav-fetch tunnel time);
+    with depth=1 windows are strictly sequential (the r4 behavior). Each
+    request still resolves to its own path in both modes."""
+    import asyncio
+    import threading
+    import time
+
+    from run import server as srv
+
+    class Reg:
+        def load(self, idx):
+            return ("cfg-stub",)
+
+    monkeypatch.setattr(srv, "_validate_request", lambda cfg, r: None)
+    active, max_active = [0], [0]
+    lock = threading.Lock()
+
+    def fake_synth(bundle, reqs):
+        with lock:
+            active[0] += 1
+            max_active[0] = max(max_active[0], active[0])
+        time.sleep(0.15)  # long enough that in-flight windows overlap
+        with lock:
+            active[0] -= 1
+        return [r["out_path"] for r in reqs]
+
+    monkeypatch.setattr(srv, "_synthesize_batch", fake_synth)
+
+    def drive(depth):
+        async def run():
+            max_active[0] = 0
+            # max_batch=1 -> every request is its own window
+            mb = srv.MicroBatcher(Reg(), window_ms=1, max_batch=1,
+                                  depth=depth)
+            res = await asyncio.gather(*[
+                mb.submit(0, {"text": "x", "out_path": f"p{i}"})
+                for i in range(4)
+            ])
+            await mb.close()
+            assert res == [f"p{i}" for i in range(4)]
+            return max_active[0]
+
+        return asyncio.run(run())
+
+    assert drive(1) == 1, "depth=1 must serialize windows"
+    assert drive(2) >= 2, "depth=2 never overlapped consecutive windows"
